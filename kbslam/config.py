@@ -1,0 +1,146 @@
+"""Frozen configuration for the TPU-native keyframe SLAM pipeline.
+
+Every constant here mirrors a hard-coded value in the reference
+(angelo-nutu/Keyframe-Based-SLAM); citations are file:line into the
+reference tree so parity is auditable. The reference has no config
+system at all (values are hard-coded at use sites); this dataclass IS
+the parity spec.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB frontend parameters (reference: VisualOdometry.cpp:10-16)."""
+
+    num_features: int = 3000          # cv::ORB::create(3000, ...)
+    scale_factor: float = 1.2         # pyramid scale
+    num_levels: int = 8               # pyramid levels
+    edge_threshold: int = 31          # border where no features detected
+    patch_size: int = 31              # orientation/descriptor patch
+    fast_threshold: int = 20          # FAST intensity threshold
+    # Harris parameters match cv::ORB's HarrisResponses (block 7, k 0.04).
+    harris_block_size: int = 7
+    harris_k: float = 0.04
+    # Gaussian blur applied before BRIEF sampling (cv::ORB uses 7x7, sigma 2).
+    blur_kernel: int = 7
+    blur_sigma: float = 2.0
+    # Padded feature capacity — multiple of 128 for MXU-friendly shapes.
+    max_features: int = 3072
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force Hamming kNN matcher (reference: VisualOdometry.cpp:18,35-62)."""
+
+    ratio: float = 0.6                # Lowe ratio test (VisualOdometry.cpp:46)
+    descriptor_bits: int = 256        # rBRIEF 256-bit descriptors
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """PnP-RANSAC pose estimation (reference: VisualOdometry.cpp:72-73).
+
+    The reference uses cv::solvePnPRansac(100 iters, 8 px, 0.99 conf) with
+    OpenCV's adaptive early exit; fixed shapes require a fixed hypothesis
+    budget, so we run more hypotheses than the reference's cap in a single
+    batched launch.
+    """
+
+    num_hypotheses: int = 256         # >= reference's 100 iterations
+    sample_size: int = 6              # 6-point DLT minimal solver
+    reproj_threshold: float = 8.0     # pixels (VisualOdometry.cpp:73)
+    confidence: float = 0.99          # kept for parity bookkeeping
+    min_points: int = 4               # PnP attempted iff >=4 pairs (VisualOdometry.cpp:146)
+    refine_iters: int = 10            # Gauss-Newton refinement on inliers
+    min_inliers: int = 6              # below this the solve is a failure
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframePolicyConfig:
+    """Keyframe insertion policy (reference: VisualOdometry.cpp:99-126)."""
+
+    min_frame_gap: int = 10           # >=10 frames since last KF
+    translation_threshold: float = 0.5   # metres
+    rotation_threshold_deg: float = 5.0  # degrees
+    min_inlier_ratio: float = 0.4     # PnP inlier ratio trigger
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window local bundle adjustment (reference: Optimizers.cpp/.hpp)."""
+
+    window: int = 5                   # numKeyFrames=5 (Optimizers.cpp:32)
+    max_iterations: int = 20          # LM cap (Optimizers.cpp:207)
+    huber_delta: float = 1.0          # HuberLoss (Optimizers.hpp huber_delta)
+    depth_prior_sigma: float = 0.30   # scale anchor sigma (Optimizers.hpp)
+    chi2_gate: float = 5.991          # 2-dof 95% gate (Optimizers.cpp:98)
+    pixel_sigma: float = 1.0          # (Optimizers.cpp:99)
+    loss_alpha: float = 1.0           # w = 1/(alpha + beta z^2) (Optimizers.cpp:162-165)
+    loss_beta: float = 0.25
+    # Landmark pruning after the solve (Optimizers.cpp:225-235).
+    prune_min_obs: int = 2
+    prune_min_inlier_kfs: int = 2
+    prune_min_inlier_ratio: float = 0.4
+    # LM damping schedule (Ceres defaults: init 1e-4, up x2 on reject, down /3).
+    lm_init_lambda: float = 1e-4
+    lm_lambda_up: float = 2.0
+    lm_lambda_down: float = 1.0 / 3.0
+    lm_min_lambda: float = 1e-10
+    lm_max_lambda: float = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class CullConfig:
+    """Keyframe culling — implemented but DISABLED in the reference
+    (Map.cpp:107-177, call commented out at Map.cpp:63)."""
+
+    enabled: bool = False
+    min_keep: int = 5
+    translation_threshold: float = 1.5
+    rotation_threshold: float = 0.1   # radians
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity padded map state (replaces Map/KeyFrame/MapPoint,
+    reference Map.cpp / KeyFrame.hpp / MapPoint.hpp)."""
+
+    max_keyframes: int = 64
+    max_map_points: int = 65536
+    depth_scale: float = 0.001        # uint16 -> metres (VisualOdometry.cpp:52)
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level config — one frozen object carries the full parameter set."""
+
+    image_height: int = 480
+    image_width: int = 640
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    policy: KeyframePolicyConfig = dataclasses.field(default_factory=KeyframePolicyConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    cull: CullConfig = dataclasses.field(default_factory=CullConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(height: int = 64, width: int = 96) -> SLAMConfig:
+    """Small-capacity config for fast CPU tests and the multichip dryrun."""
+    return SLAMConfig(
+        image_height=height,
+        image_width=width,
+        orb=OrbConfig(num_features=128, num_levels=3, max_features=128),
+        pnp=PnPConfig(num_hypotheses=32, refine_iters=5),
+        map=MapConfig(max_keyframes=8, max_map_points=1024),
+    )
+
+
+DEFAULT_CONFIG = SLAMConfig()
