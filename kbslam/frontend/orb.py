@@ -1,0 +1,117 @@
+"""ORB feature extraction: the full grayscale -> keypoints+descriptors stage.
+
+TPU-native re-design of cv::ORB::detectAndCompute as called by the
+reference frontend (VisualOdometry.cpp:10-16,21-33 — 3000 features,
+scale 1.2, 8 levels, edge 31, Harris ranking, FAST threshold 20, with a
+static-element mask). The whole stage is one traced XLA program with
+static shapes: per-level dense FAST + NMS + Harris maps, top-K
+selection into a fixed per-level quota, dense IC-moment orientation,
+and rBRIEF descriptors — padded to ``max_features`` with a validity
+mask instead of dynamically-sized keypoint vectors.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import OrbConfig
+from kbslam.frontend import brief
+from kbslam.frontend.fast import border_mask, fast_score_map, nms3x3
+from kbslam.frontend.harris import harris_response
+from kbslam.frontend.image import build_pyramid, gaussian_blur, pyramid_sizes, rgb_to_gray
+from kbslam.frontend.orientation import angles_at, moment_maps
+
+_NEG = -1e30
+
+
+class Features(NamedTuple):
+    """Padded keypoint set for one image (capacity = config.orb.max_features)."""
+
+    xy: jnp.ndarray        # [F, 2] float32, level-0 pixel coords (x, y)
+    response: jnp.ndarray  # [F] float32 Harris response
+    angle: jnp.ndarray     # [F] float32 radians
+    level: jnp.ndarray     # [F] int32 pyramid level
+    valid: jnp.ndarray     # [F] bool
+    desc: jnp.ndarray      # [F, 256] uint8 bits in {0, 1}
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+def level_quotas(cfg: OrbConfig) -> List[int]:
+    """Distribute the feature budget across levels like cv::ORB: geometric
+    decay with ratio 1/scale, remainder to the last level; sums to
+    cfg.max_features so concatenated shapes stay static."""
+    factor = 1.0 / cfg.scale_factor
+    n = cfg.max_features
+    ndesired = n * (1 - factor) / (1 - factor ** cfg.num_levels)
+    quotas = []
+    for lv in range(cfg.num_levels - 1):
+        quotas.append(int(round(ndesired * factor ** lv)))
+    quotas.append(n - sum(quotas))
+    return quotas
+
+
+def detect_and_compute(
+    gray: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    cfg: OrbConfig,
+) -> Features:
+    """[H, W] float32 grayscale (+ optional nonzero=keep mask) -> Features."""
+    h, w = gray.shape
+    sizes = pyramid_sizes(h, w, cfg.num_levels, cfg.scale_factor)
+    quotas = level_quotas(cfg)
+    pyr = build_pyramid(gray, cfg.num_levels, cfg.scale_factor)
+
+    out = []
+    for lv in range(cfg.num_levels):
+        img = pyr[lv]
+        hl, wl = sizes[lv]
+        score = nms3x3(fast_score_map(img, float(cfg.fast_threshold)))
+        region = border_mask(hl, wl, cfg.edge_threshold)
+        if mask is not None:
+            mask_l = jax.image.resize(
+                mask.astype(jnp.float32), (hl, wl), method="nearest"
+            ) > 0
+            region = region & mask_l
+        harris = harris_response(img, cfg.harris_block_size, cfg.harris_k)
+        cand = jnp.where((score > 0) & region, harris, _NEG)
+
+        k = quotas[lv]
+        vals, idx = jax.lax.top_k(cand.reshape(-1), k)
+        valid = vals > _NEG * 0.5
+        x = (idx % wl).astype(jnp.float32)
+        y = (idx // wl).astype(jnp.float32)
+        xy_l = jnp.stack([x, y], axis=-1)
+
+        m10, m01 = moment_maps(img, radius=cfg.patch_size // 2)
+        ang = angles_at(m10, m01, xy_l)
+
+        blurred = gaussian_blur(img, cfg.blur_kernel, cfg.blur_sigma)
+        desc = brief.describe(blurred, xy_l, ang)
+
+        scale = cfg.scale_factor ** lv
+        out.append(
+            Features(
+                xy=xy_l * scale,
+                response=vals,
+                angle=ang,
+                level=jnp.full((k,), lv, jnp.int32),
+                valid=valid,
+                desc=desc,
+            )
+        )
+
+    return Features(*[jnp.concatenate(parts, axis=0) for parts in zip(*out)])
+
+
+def extract(rgb: jnp.ndarray, mask: Optional[jnp.ndarray], cfg: OrbConfig) -> Features:
+    """RGB uint8 [H, W, 3] -> Features (the reference's ExtractFeatures)."""
+    return detect_and_compute(rgb_to_gray(rgb), mask, cfg)
