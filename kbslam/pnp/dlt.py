@@ -1,0 +1,106 @@
+"""Batched 6-point DLT PnP minimal solver.
+
+The reference delegates to cv::solvePnPRansac's internal minimal solver
+(VisualOdometry.cpp:72). Here every RANSAC hypothesis is solved in one
+batched launch: build the [K, 12, 12] normal matrices, take the
+smallest eigenvector (eigh — small dense eigendecompositions batch fine
+under XLA), and project the 3x3 block back onto SO(3) with a batched
+SVD. No per-hypothesis host loop exists anywhere.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from kbslam.geom.camera import Intrinsics
+
+
+def normalized_rays(intr: Intrinsics, uv: jnp.ndarray) -> jnp.ndarray:
+    """Pixels [..., 2] -> normalized image coords (x/z, y/z)."""
+    return jnp.stack(
+        [(uv[..., 0] - intr.cx) / intr.fx, (uv[..., 1] - intr.cy) / intr.fy],
+        axis=-1,
+    )
+
+
+def solve_dlt(points3d: jnp.ndarray, rays: jnp.ndarray):
+    """DLT pose from minimal sets.
+
+    points3d: [..., n, 3] points in the source frame.
+    rays: [..., n, 2] normalized image coords of their projections.
+    Returns (R [..., 3, 3], t [..., 3]) mapping source -> camera;
+    degenerate sets produce garbage poses that simply score zero
+    inliers downstream.
+
+    Data is Hartley-normalized (centered, isotropically scaled) before
+    building the system — essential in float32, where the squared
+    condition number of the raw normal matrix destroys the smallest
+    eigenvector.
+    """
+    # --- normalize 3D points: X' = (X - c3) / s3
+    c3 = jnp.mean(points3d, axis=-2, keepdims=True)
+    d3 = points3d - c3
+    s3 = jnp.mean(jnp.linalg.norm(d3, axis=-1), axis=-1)[..., None, None] + 1e-12
+    Xn = d3 / s3
+
+    # --- normalize rays: x' = (x - c2) / s2
+    c2 = jnp.mean(rays, axis=-2, keepdims=True)
+    d2 = rays - c2
+    s2 = jnp.mean(jnp.linalg.norm(d2, axis=-1), axis=-1)[..., None, None] + 1e-12
+    xn_r = d2 / s2
+
+    points3d, rays = Xn, xn_r
+
+    ones = jnp.ones(points3d.shape[:-1] + (1,), points3d.dtype)
+    Xh = jnp.concatenate([points3d, ones], axis=-1)  # [..., n, 4]
+    zeros = jnp.zeros_like(Xh)
+    xn = rays[..., 0:1]
+    yn = rays[..., 1:2]
+
+    row_u = jnp.concatenate([Xh, zeros, -xn * Xh], axis=-1)  # [..., n, 12]
+    row_v = jnp.concatenate([zeros, Xh, -yn * Xh], axis=-1)
+    A = jnp.concatenate([row_u, row_v], axis=-2)  # [..., 2n, 12]
+
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    p = vecs[..., :, 0]  # smallest eigenvector [..., 12]
+    Pn = p.reshape(p.shape[:-1] + (3, 4))
+
+    # --- denormalize: P = N^-1 @ Pn @ T, where x' = N x_h, X' = T X_h
+    batch = Pn.shape[:-2]
+    s2s = s2[..., 0, 0]
+    s3s = s3[..., 0, 0]
+    N_inv = jnp.zeros(batch + (3, 3), Pn.dtype)
+    N_inv = (
+        N_inv.at[..., 0, 0].set(s2s)
+        .at[..., 1, 1].set(s2s)
+        .at[..., 0, 2].set(c2[..., 0, 0])
+        .at[..., 1, 2].set(c2[..., 0, 1])
+        .at[..., 2, 2].set(1.0)
+    )
+    T4 = jnp.zeros(batch + (4, 4), Pn.dtype)
+    inv_s3 = 1.0 / s3s
+    T4 = (
+        T4.at[..., 0, 0].set(inv_s3)
+        .at[..., 1, 1].set(inv_s3)
+        .at[..., 2, 2].set(inv_s3)
+        .at[..., 0, 3].set(-c3[..., 0, 0] * inv_s3)
+        .at[..., 1, 3].set(-c3[..., 0, 1] * inv_s3)
+        .at[..., 2, 3].set(-c3[..., 0, 2] * inv_s3)
+        .at[..., 3, 3].set(1.0)
+    )
+    P = N_inv @ Pn @ T4
+
+    M = P[..., :, :3]
+    detM = jnp.linalg.det(M)
+    lam = jnp.sign(detM) * jnp.abs(detM) ** (1.0 / 3.0)
+    lam = jnp.where(jnp.abs(lam) < 1e-12, 1e-12, lam)
+    R0 = M / lam[..., None, None]
+    t = P[..., :, 3] / lam[..., None]
+
+    # Project R0 onto SO(3)
+    U, _, Vt = jnp.linalg.svd(R0)
+    det_uv = jnp.linalg.det(U @ Vt)
+    D = jnp.zeros_like(U).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    D = D.at[..., 2, 2].set(det_uv)
+    R = U @ D @ Vt
+    return R, t

@@ -1,0 +1,120 @@
+"""Batched PnP-RANSAC: all hypotheses solved and scored in one launch.
+
+Replaces cv::solvePnPRansac (reference: VisualOdometry.cpp:72-73 —
+100 iterations, 8 px reprojection threshold, 0.99 confidence). OpenCV's
+adaptive early-exit loop becomes a fixed hypothesis budget
+(cfg.num_hypotheses >= the reference's cap) evaluated entirely in
+parallel: minimal sets are drawn with a fixed per-frame PRNG key
+(determinism test hook), solved by the batched DLT, scored against all
+correspondences as one [K, N] projection, and the best hypothesis is
+polished by weighted Gauss-Newton on its inlier set.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import PnPConfig
+from kbslam.geom.camera import Intrinsics, project
+from kbslam.geom.se3 import SE3, matrix_to_quat
+from kbslam.pnp.dlt import normalized_rays, solve_dlt
+from kbslam.pnp.refine import refine_pose
+
+
+class PnPResult(NamedTuple):
+    success: jnp.ndarray       # [] bool
+    T_cw: SE3                  # source(keyframe-camera) -> current-camera
+    inlier_ratio: jnp.ndarray  # [] float32 — inliers / num valid matches
+    inliers: jnp.ndarray       # [N] bool final inlier set
+    num_inliers: jnp.ndarray   # [] int32
+
+
+def _sample_valid_indices(key, valid: jnp.ndarray, num_sets: int, set_size: int):
+    """Draw [num_sets, set_size] indices uniformly among valid entries."""
+    n = valid.shape[0]
+    # stable partition: indices of valid entries first
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    u = jax.random.randint(key, (num_sets, set_size), 0, jnp.maximum(n_valid, 1))
+    return order[u]
+
+
+def ransac_pnp(
+    key: jnp.ndarray,
+    points3d: jnp.ndarray,   # [N, 3] in keyframe camera frame
+    uv_obs: jnp.ndarray,     # [N, 2] pixels in current image
+    valid: jnp.ndarray,      # [N] bool
+    intr: Intrinsics,
+    cfg: PnPConfig,
+) -> PnPResult:
+    K = cfg.num_hypotheses
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    idx = _sample_valid_indices(key, valid, K, cfg.sample_size)  # [K, S]
+    pts_s = points3d[idx]                       # [K, S, 3]
+    uv_s = uv_obs[idx]                          # [K, S, 2]
+    rays_s = normalized_rays(intr, uv_s)
+
+    R, t = solve_dlt(pts_s, rays_s)             # [K, 3, 3], [K, 3]
+
+    # float32 DLT on 6 points is only a coarse initializer (the 11th
+    # singular value is near the noise floor); polish every hypothesis
+    # with Gauss-Newton on its own minimal set — quadratic convergence
+    # to the exact minimal solution, fully vmapped across hypotheses.
+    T_init = SE3(matrix_to_quat(R), t).normalize()
+    ones_s = jnp.ones(cfg.sample_size, dtype=points3d.dtype)
+    T_h = jax.vmap(
+        lambda q, tt, p, u: refine_pose(SE3(q, tt), p, u, ones_s, intr, iters=5)
+    )(T_init.q, T_init.t, pts_s, uv_s)
+
+    # score every hypothesis against every correspondence: [K, N]
+    Rh = T_h.rotation_matrix()
+    pc = jnp.einsum("kij,nj->kni", Rh, points3d) + T_h.t[:, None, :]
+    uv_proj, z = project(intr, pc)
+    err2 = jnp.sum((uv_proj - uv_obs[None]) ** 2, axis=-1)
+    thr2 = cfg.reproj_threshold * cfg.reproj_threshold
+    inlier = (err2 < thr2) & (z > 0) & valid[None, :]
+    finite = jnp.all(jnp.isfinite(T_h.q), axis=-1) & jnp.all(
+        jnp.isfinite(T_h.t), axis=-1
+    )
+    counts = jnp.where(finite, jnp.sum(inlier, axis=1), 0)
+
+    best = jnp.argmax(counts)
+    T0 = SE3(T_h.q[best], T_h.t[best]).normalize()
+    best_inliers = inlier[best]
+
+    # polish on the inlier set (weights = inlier mask)
+    T = refine_pose(
+        T0, points3d, uv_obs, best_inliers.astype(jnp.float32), intr,
+        iters=cfg.refine_iters,
+    )
+
+    # recount with the polished pose
+    r_fin, z_fin, _ = _residuals(T, points3d, uv_obs, intr)
+    err2_fin = jnp.sum(r_fin * r_fin, axis=-1)
+    final_inliers = (err2_fin < thr2) & (z_fin > 0) & valid
+    num_inliers = jnp.sum(final_inliers)
+
+    ok = (
+        (num_inliers >= cfg.min_inliers)
+        & (n_valid >= cfg.min_points)
+        & jnp.all(jnp.isfinite(T.q))
+        & jnp.all(jnp.isfinite(T.t))
+    )
+    # reference ratio: inliers / all ratio-test matches (VisualOdometry.cpp:91)
+    ratio = num_inliers.astype(jnp.float32) / jnp.maximum(
+        n_valid.astype(jnp.float32), 1.0
+    )
+    identity = SE3.identity(dtype=T.t.dtype)
+    T_safe = SE3(
+        jnp.where(ok, T.q, identity.q), jnp.where(ok, T.t, identity.t)
+    )
+    return PnPResult(ok, T_safe, jnp.where(ok, ratio, 0.0), final_inliers, num_inliers)
+
+
+def _residuals(T: SE3, points3d, uv_obs, intr):
+    pc = T.apply(points3d)
+    uv, z = project(intr, pc)
+    return uv - uv_obs, z, pc
