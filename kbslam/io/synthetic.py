@@ -1,0 +1,155 @@
+"""Synthetic RGB-D sequence generator with exact ground truth.
+
+The reference is validated only visually against a live camera stream;
+our test pyramid needs deterministic data with known trajectories
+(SURVEY §4). A camera flies in front of a corner-rich textured plane;
+each frame is ray-cast analytically, producing RGB + uint16 depth (mm)
++ optional static-element mask, plus the exact camera-to-world pose.
+Host-side NumPy: this is ingress, not device compute.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class SyntheticSequence(NamedTuple):
+    rgb: np.ndarray     # [T, H, W, 3] uint8
+    depth: np.ndarray   # [T, H, W] uint16 (mm)
+    mask: np.ndarray    # [T, H, W] uint8 (255 = static/keep)
+    poses: np.ndarray   # [T, 4, 4] T_wc ground truth
+    K: np.ndarray       # [3, 3]
+
+
+def _texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
+    """Corner-rich RGB texture."""
+    tex = np.full((size, size, 3), 40, np.float32)
+    for _ in range(600):
+        x, y = rng.integers(0, size - 40, size=2)
+        w, h = rng.integers(8, 80, size=2)
+        color = rng.integers(30, 255, size=3)
+        tex[y : y + h, x : x + w] = color
+    # mild blur to avoid aliasing shimmer
+    k = np.array([0.25, 0.5, 0.25])
+    for ax in (0, 1):
+        tex = (
+            0.5 * tex
+            + 0.25 * np.roll(tex, 1, axis=ax)
+            + 0.25 * np.roll(tex, -1, axis=ax)
+        )
+    return tex
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def _roty(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+
+
+def _rotx(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def default_trajectory(num_frames: int, amplitude: float = 0.6) -> np.ndarray:
+    """Smooth sideways sweep with gentle yaw/pitch; camera ~2.5 m from the
+    plane, looking +z (plane at z = 0 in world, camera starts at z=-2.5)."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(num_frames - 1, 1)
+        t = np.array(
+            [amplitude * np.sin(2 * np.pi * s),
+             0.3 * np.sin(4 * np.pi * s),
+             -2.5 + 0.4 * np.sin(2 * np.pi * s + 1.0)]
+        )
+        R = _roty(0.08 * np.sin(2 * np.pi * s)) @ _rotx(0.05 * np.cos(2 * np.pi * s))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
+
+
+def render_sequence(
+    num_frames: int = 60,
+    height: int = 240,
+    width: int = 320,
+    fx: float = 260.0,
+    seed: int = 0,
+    poses: Optional[np.ndarray] = None,
+    moving_box: bool = False,
+) -> SyntheticSequence:
+    rng = np.random.default_rng(seed)
+    tex = _texture(rng)
+    tex_size = tex.shape[0]
+    plane_extent = 4.0  # plane spans [-4, 4] m in x and y
+
+    K = np.array(
+        [[fx, 0, (width - 1) / 2.0], [0, fx, (height - 1) / 2.0], [0, 0, 1.0]]
+    )
+    if poses is None:
+        poses = default_trajectory(num_frames)
+
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    dirs = np.stack(
+        [(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1], np.ones_like(us, float)],
+        axis=-1,
+    )  # [H, W, 3] camera-frame rays with z = 1
+
+    rgbs, depths, masks = [], [], []
+    for ti in range(num_frames):
+        T = poses[ti]
+        R, t = T[:3, :3], T[:3, 3]
+        d_world = dirs @ R.T                     # [H, W, 3]
+        # plane z = 0: t_z + s * d_z = 0
+        dz = d_world[..., 2]
+        s = np.where(np.abs(dz) > 1e-9, -t[2] / dz, 1e9)
+        hit = (s > 0.05) & (s < 40.0)
+        pt = t[None, None, :] + s[..., None] * d_world
+        # depth along camera z axis == s (rays have unit camera z)
+        depth_m = np.where(hit, s, 0.0)
+
+        # texture lookup (bilinear)
+        txf = (pt[..., 0] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
+        tyf = (pt[..., 1] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
+        inside = hit & (txf >= 0) & (txf < tex_size - 1) & (tyf >= 0) & (tyf < tex_size - 1)
+        tx0 = np.clip(txf.astype(int), 0, tex_size - 2)
+        ty0 = np.clip(tyf.astype(int), 0, tex_size - 2)
+        fxq = (txf - tx0)[..., None]
+        fyq = (tyf - ty0)[..., None]
+        c00 = tex[ty0, tx0]
+        c01 = tex[ty0, tx0 + 1]
+        c10 = tex[ty0 + 1, tx0]
+        c11 = tex[ty0 + 1, tx0 + 1]
+        color = (
+            c00 * (1 - fxq) * (1 - fyq)
+            + c01 * fxq * (1 - fyq)
+            + c10 * (1 - fxq) * fyq
+            + c11 * fxq * fyq
+        )
+        rgb = np.where(inside[..., None], color, 0.0).astype(np.uint8)
+        depth_mm = np.clip(np.where(inside, depth_m, 0.0) * 1000.0, 0, 65535).astype(
+            np.uint16
+        )
+        mask = np.full((height, width), 255, np.uint8)
+        if moving_box:
+            # a "dynamic object": moving square masked out, mimicking the
+            # static-element mask path (reference Camera mask ingress)
+            bx = int((0.2 + 0.5 * ti / num_frames) * width)
+            by = int(0.4 * height)
+            bw = width // 6
+            rgb[by : by + bw, bx : bx + bw] = rng.integers(0, 255, size=3)
+            mask[by : by + bw, bx : bx + bw] = 0
+
+        rgbs.append(rgb)
+        depths.append(depth_mm)
+        masks.append(mask)
+
+    return SyntheticSequence(
+        np.stack(rgbs), np.stack(depths), np.stack(masks), poses, K
+    )

@@ -1,0 +1,179 @@
+"""Fixed-capacity, padded, SoA map state — the TPU-native world model.
+
+Replaces the reference's pointer-rich shared state (Map.cpp,
+KeyFrame.hpp:33-40, MapPoint.hpp:8-40): keyframes live in a ring of
+padded arrays, the per-keypoint ``shared_ptr<MapPoint>`` slots become an
+int32 landmark-id table (-1 = empty), and every mutation
+(AddKeyframe, CreateMapPoints fusion, pruning) is a masked
+scatter/gather on static shapes, so tracking and BA jit-compile once.
+
+Concurrency contract: there is none to manage — ``track_step`` and
+``local_ba`` are pure functions on this state; the single global mutex
+(Utils.hpp:15) and its documented races disappear by construction.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import MapConfig, OrbConfig
+from kbslam.frontend.orb import Features
+from kbslam.geom.se3 import SE3
+from kbslam.matching.hamming import MatchResult
+
+NO_MP = jnp.int32(-1)
+
+
+class MapState(NamedTuple):
+    # --- keyframe ring (capacity M = max_keyframes) -----------------------
+    kf_q: jnp.ndarray        # [M, 4] T_wc rotation (reference sophPose)
+    kf_t: jnp.ndarray        # [M, 3]
+    kf_kp_xy: jnp.ndarray    # [M, F, 2] keypoint pixel coords (level 0)
+    kf_kp_depth: jnp.ndarray # [M, F] metric depth at keypoint (0 = missing)
+    kf_desc: jnp.ndarray     # [M, F, 256] uint8 descriptor bits
+    kf_kp_valid: jnp.ndarray # [M, F] bool
+    kf_mp: jnp.ndarray       # [M, F] int32 landmark id per slot (-1 empty)
+    kf_id: jnp.ndarray       # [M] int32 global keyframe id (-1 = slot empty)
+    num_kf: jnp.ndarray      # [] int32 monotone insertion counter
+    # --- landmarks (capacity P = max_map_points) --------------------------
+    mp_pos: jnp.ndarray      # [P, 3] world positions
+    mp_valid: jnp.ndarray    # [P] bool
+    num_mp: jnp.ndarray      # [] int32 monotone allocation counter
+
+    @property
+    def capacity_kf(self) -> int:
+        return self.kf_q.shape[0]
+
+    @property
+    def capacity_mp(self) -> int:
+        return self.mp_pos.shape[0]
+
+    def last_slot(self) -> jnp.ndarray:
+        """Ring slot of the most recent keyframe (undefined if empty)."""
+        m = self.capacity_kf
+        return (self.num_kf - 1) % m
+
+    def is_empty(self) -> jnp.ndarray:
+        """Map::IsTrackingEmpty (Map.cpp:103-105)."""
+        return self.num_kf == 0
+
+    def last_kf_pose(self) -> SE3:
+        s = self.last_slot()
+        return SE3(self.kf_q[s], self.kf_t[s])
+
+
+def empty_map(map_cfg: MapConfig, orb_cfg: OrbConfig) -> MapState:
+    m, f, p = map_cfg.max_keyframes, orb_cfg.max_features, map_cfg.max_map_points
+    return MapState(
+        kf_q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (m, 1)),
+        kf_t=jnp.zeros((m, 3), jnp.float32),
+        kf_kp_xy=jnp.zeros((m, f, 2), jnp.float32),
+        kf_kp_depth=jnp.zeros((m, f), jnp.float32),
+        kf_desc=jnp.zeros((m, f, 256), jnp.uint8),
+        kf_kp_valid=jnp.zeros((m, f), bool),
+        kf_mp=jnp.full((m, f), NO_MP),
+        kf_id=jnp.full((m,), -1, jnp.int32),
+        num_kf=jnp.int32(0),
+        mp_pos=jnp.zeros((p, 3), jnp.float32),
+        mp_valid=jnp.zeros((p,), bool),
+        num_mp=jnp.int32(0),
+    )
+
+
+def insert_keyframe(
+    state: MapState,
+    feats: Features,
+    depth_at_kp: jnp.ndarray,
+    pose: SE3,
+) -> MapState:
+    """Map::AddKeyframe (Map.cpp:7-14): write the new KF into the next ring
+    slot. Landmark slots start empty; fusion happens in create_map_points."""
+    slot = state.num_kf % state.capacity_kf
+    return state._replace(
+        kf_q=state.kf_q.at[slot].set(pose.q),
+        kf_t=state.kf_t.at[slot].set(pose.t),
+        kf_kp_xy=state.kf_kp_xy.at[slot].set(feats.xy),
+        kf_kp_depth=state.kf_kp_depth.at[slot].set(depth_at_kp),
+        kf_desc=state.kf_desc.at[slot].set(feats.desc),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
+        kf_mp=state.kf_mp.at[slot].set(jnp.full_like(state.kf_mp[slot], NO_MP)),
+        kf_id=state.kf_id.at[slot].set(state.num_kf),
+        num_kf=state.num_kf + 1,
+    )
+
+
+def create_map_points(
+    state: MapState,
+    match: MatchResult,
+    intr_fx, intr_fy, intr_cx, intr_cy,
+) -> MapState:
+    """Map::CreateMapPoints (Map.cpp:16-65), as masked scatters.
+
+    For each ratio-test match between the previous keyframe (query q)
+    and the just-inserted keyframe (train match.best_idx[q]):
+      - prev slot empty  -> allocate a new landmark at the world position
+        of the prev KF's depth-unprojected keypoint (Map.cpp:28-55);
+      - prev slot filled -> share the landmark id into the current slot
+        (Map.cpp:56-59).
+    Observation bookkeeping is implicit: observations ARE the kf_mp
+    entries pointing at a landmark.
+    """
+    m = state.capacity_kf
+    prev_slot = (state.num_kf - 2) % m
+    curr_slot = (state.num_kf - 1) % m
+
+    q_idx = jnp.arange(state.kf_mp.shape[1])
+    matched = match.is_match
+    t_idx = match.best_idx
+
+    prev_mp = state.kf_mp[prev_slot]                 # [F]
+    needs_new = matched & (prev_mp == NO_MP)
+
+    # allocate contiguous landmark ids for the new points (ring over P)
+    offset = jnp.cumsum(needs_new.astype(jnp.int32)) - 1
+    new_id = (state.num_mp + offset) % state.capacity_mp
+    n_new = jnp.sum(needs_new.astype(jnp.int32))
+
+    # world position from prev KF depth unprojection (Map.cpp:29-44)
+    xy = state.kf_kp_xy[prev_slot]
+    z = state.kf_kp_depth[prev_slot]
+    x = (xy[:, 0] - intr_cx) * z / intr_fx
+    y = (xy[:, 1] - intr_cy) * z / intr_fy
+    p_cam = jnp.stack([x, y, z], axis=-1)
+    prev_pose = SE3(state.kf_q[prev_slot], state.kf_t[prev_slot])
+    p_world = prev_pose.apply(p_cam)                 # [F, 3]
+
+    # masked scatters: non-participating lanes get an out-of-bounds index
+    # and are dropped, so they can never clobber a real write.
+    drop_new = jnp.where(needs_new, new_id, state.capacity_mp)
+    mp_pos = state.mp_pos.at[drop_new].set(p_world, mode="drop")
+    mp_valid = state.mp_valid.at[drop_new].set(True, mode="drop")
+
+    # prev KF slots gain the new ids; current KF slots gain new-or-shared ids
+    prev_mp_new = jnp.where(needs_new, new_id, prev_mp)
+    share_id = prev_mp_new
+    drop_t = jnp.where(matched, t_idx, state.kf_mp.shape[1])
+    curr_mp = state.kf_mp[curr_slot]
+    curr_mp_new = curr_mp.at[drop_t].set(share_id, mode="drop")
+
+    kf_mp = state.kf_mp.at[prev_slot].set(prev_mp_new).at[curr_slot].set(curr_mp_new)
+    return state._replace(
+        kf_mp=kf_mp,
+        mp_pos=mp_pos,
+        mp_valid=mp_valid,
+        num_mp=state.num_mp + n_new,
+    )
+
+
+def window_slots(state: MapState, window: int) -> jnp.ndarray:
+    """Ring slots of the last ``window`` keyframes, oldest first, padded
+    with the oldest available when fewer exist (Map::GetNKeyFrames,
+    Map.cpp:72-78). Also returns via mask which entries are real."""
+    n = state.num_kf
+    w = window
+    # ids num_kf-w .. num_kf-1, clamped at 0
+    ids = jnp.arange(-w, 0) + n
+    ids = jnp.maximum(ids, 0)
+    return ids % state.capacity_kf, ids, (jnp.arange(-w, 0) + n) >= 0

@@ -1,0 +1,177 @@
+"""The per-frame tracking step — the reference's hot path as ONE pure
+jitted function.
+
+Mirrors VisualOdometry::Track (VisualOdometry.cpp:129-172) +
+Map::AddKeyframe/CreateMapPoints (Map.cpp:7-65) + the keyframe policy,
+with identical thresholds, but restructured TPU-first: extract, match,
+PnP, policy, and insertion all trace into a single XLA program with
+static shapes; keyframe insertion is a lax.cond over masked scatters
+instead of a mutex-guarded mutation.
+
+Reference behavioral quirks preserved on purpose:
+  - ShouldAddKeyFrame runs whenever >=4 match pairs exist, even if PnP
+    failed (inlier ratio 0 then forces insertion once the frame gap
+    passes) — VisualOdometry.cpp:146-152.
+  - On PnP failure the pose is not advanced (main.cpp:35-38).
+  - Map points are created from the PREVIOUS keyframe's depth at its
+    keypoint, placed with the previous keyframe's current pose
+    (Map.cpp:28-55).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import SLAMConfig
+from kbslam.frontend import orb
+from kbslam.geom.camera import Intrinsics, depth_at, unproject
+from kbslam.geom.se3 import SE3
+from kbslam.mapping import policy as kf_policy
+from kbslam.mapping.state import MapState, create_map_points, empty_map, insert_keyframe
+from kbslam.matching.hamming import knn2_ratio_match
+from kbslam.pnp.ransac import ransac_pnp
+
+
+class TrackState(NamedTuple):
+    map: MapState
+    pose_q: jnp.ndarray        # current camera pose T_wc (poses.back())
+    pose_t: jnp.ndarray
+    frames_since_kf: jnp.ndarray  # int32
+    frame_count: jnp.ndarray      # int32
+
+    @property
+    def pose(self) -> SE3:
+        return SE3(self.pose_q, self.pose_t)
+
+
+class TrackOutput(NamedTuple):
+    pose_q: jnp.ndarray
+    pose_t: jnp.ndarray
+    success: jnp.ndarray       # bool — a new pose was estimated
+    added_kf: jnp.ndarray      # bool
+    inlier_ratio: jnp.ndarray  # float32
+    num_matches: jnp.ndarray   # int32 ratio-test survivors
+    num_inliers: jnp.ndarray   # int32
+    num_features: jnp.ndarray  # int32 valid ORB keypoints
+
+
+def init_state(cfg: SLAMConfig) -> TrackState:
+    return TrackState(
+        map=empty_map(cfg.map, cfg.orb),
+        pose_q=jnp.array([1.0, 0, 0, 0], jnp.float32),
+        pose_t=jnp.zeros(3, jnp.float32),
+        frames_since_kf=jnp.int32(0),
+        frame_count=jnp.int32(0),
+    )
+
+
+def track_step(
+    state: TrackState,
+    rgb: jnp.ndarray,      # [H, W, 3] uint8
+    depth: jnp.ndarray,    # [H, W] uint16
+    mask: Optional[jnp.ndarray],  # [H, W] uint8/bool nonzero=keep, or None
+    key: jnp.ndarray,      # PRNG key for RANSAC (fixed per frame = determinism)
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> tuple[TrackState, TrackOutput]:
+    m = state.map
+    empty = m.is_empty()
+
+    # --- L3 frontend: ORB under mask (VisualOdometry.cpp:138) -------------
+    feats = orb.extract(rgb, mask, cfg.orb)
+    depth_kp = depth_at(depth, feats.xy, cfg.map.depth_scale)
+
+    # --- match vs last keyframe (VisualOdometry.cpp:144) ------------------
+    slot = m.last_slot()
+    match = knn2_ratio_match(
+        m.kf_desc[slot],
+        m.kf_kp_valid[slot] & jnp.logical_not(empty),
+        feats.desc,
+        feats.valid,
+        cfg.matcher.ratio,
+    )
+
+    # back-project keyframe keypoints with keyframe depth
+    # (VisualOdometry.cpp:52-54); zero-depth pairs participate exactly like
+    # the reference and fall to RANSAC as outliers.
+    pts3d = unproject(intr, m.kf_kp_xy[slot], m.kf_kp_depth[slot])
+    pts2d = feats.xy[match.best_idx]
+    # current-frame depth lift: powers the Kabsch half of the RANSAC
+    # hypothesis budget (coplanar-robust); scoring stays 2D-reprojection
+    depth_curr = depth_kp[match.best_idx]
+    pts3d_obs = unproject(intr, pts2d, depth_curr)
+
+    num_matches = jnp.sum(match.is_match.astype(jnp.int32))
+    attempted = (num_matches >= cfg.pnp.min_points) & jnp.logical_not(empty)
+
+    # --- PnP-RANSAC (VisualOdometry.cpp:64-97) ----------------------------
+    pnp = ransac_pnp(
+        key, pts3d, pts2d, match.is_match, intr, cfg.pnp,
+        points3d_obs=pts3d_obs, obs_valid=depth_curr > 0,
+    )
+    success = pnp.success & attempted
+
+    last_kf_pose = SE3(m.kf_q[slot], m.kf_t[slot])
+    new_pose = last_kf_pose.compose(pnp.T_cw.inverse()).normalize()
+    pose = SE3(
+        jnp.where(success, new_pose.q, state.pose_q),
+        jnp.where(success, new_pose.t, state.pose_t),
+    )
+
+    # --- keyframe policy (VisualOdometry.cpp:99-126) ----------------------
+    frames_since = state.frames_since_kf + 1
+    ratio_for_policy = jnp.where(success, pnp.inlier_ratio, 0.0)
+    add_kf = (
+        kf_policy.should_add_keyframe(
+            pose, last_kf_pose, frames_since, ratio_for_policy, cfg.policy
+        )
+        & attempted
+    )
+    do_insert = empty | add_kf
+
+    # --- insertion + landmark fusion (VisualOdometry.cpp:155-166) ---------
+    def _insert(mp: MapState) -> MapState:
+        mp = insert_keyframe(mp, feats, depth_kp, pose)
+        return jax.lax.cond(
+            empty,
+            lambda s: s,
+            lambda s: create_map_points(s, match, intr.fx, intr.fy, intr.cx, intr.cy),
+            mp,
+        )
+
+    new_map = jax.lax.cond(do_insert, _insert, lambda s: s, m)
+
+    new_state = TrackState(
+        map=new_map,
+        pose_q=pose.q,
+        pose_t=pose.t,
+        frames_since_kf=jnp.where(add_kf, 0, frames_since),
+        frame_count=state.frame_count + 1,
+    )
+    out = TrackOutput(
+        pose_q=pose.q,
+        pose_t=pose.t,
+        success=success,
+        added_kf=do_insert,
+        inlier_ratio=ratio_for_policy,
+        num_matches=num_matches,
+        num_inliers=pnp.num_inliers,
+        num_features=feats.count(),
+    )
+    return new_state, out
+
+
+def make_track_step(cfg: SLAMConfig, intr: Intrinsics, use_mask: bool = True):
+    """jit-compiled track_step closure with static config."""
+
+    if use_mask:
+        def step(state, rgb, depth, mask, key):
+            return track_step(state, rgb, depth, mask, key, intr, cfg)
+    else:
+        def step(state, rgb, depth, key):
+            return track_step(state, rgb, depth, None, key, intr, cfg)
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -20,6 +20,7 @@ from kbslam.config import PnPConfig
 from kbslam.geom.camera import Intrinsics, project
 from kbslam.geom.se3 import SE3, matrix_to_quat
 from kbslam.pnp.dlt import normalized_rays, solve_dlt
+from kbslam.pnp.kabsch import solve_kabsch
 from kbslam.pnp.refine import refine_pose
 
 
@@ -48,16 +49,42 @@ def ransac_pnp(
     valid: jnp.ndarray,      # [N] bool
     intr: Intrinsics,
     cfg: PnPConfig,
+    points3d_obs: jnp.ndarray | None = None,  # [N, 3] current-camera 3D
+    obs_valid: jnp.ndarray | None = None,     # [N] bool (depth > 0)
 ) -> PnPResult:
+    """When current-frame depth is available (points3d_obs), half the
+    hypothesis budget runs the 3D-3D Kabsch solver — immune to the
+    coplanar-scene degeneracy of projective DLT — and half stays DLT
+    (covers depth holes). All hypotheses are polished and scored by 2D
+    reprojection, so the output matches the reference's PnP contract."""
     K = cfg.num_hypotheses
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    idx = _sample_valid_indices(key, valid, K, cfg.sample_size)  # [K, S]
+    key_a, key_b = jax.random.split(key)
+    if points3d_obs is not None:
+        K_dlt = K // 2
+        both = valid & obs_valid
+        # fall back to `valid` sampling when depth is entirely missing
+        any_both = jnp.any(both)
+        pool = jnp.where(any_both, both, valid)
+        idx_k = _sample_valid_indices(key_b, pool, K - K_dlt, cfg.sample_size)
+        idx_d = _sample_valid_indices(key_a, valid, K_dlt, cfg.sample_size)
+        idx = jnp.concatenate([idx_d, idx_k], axis=0)
+    else:
+        K_dlt = K
+        idx = _sample_valid_indices(key_a, valid, K, cfg.sample_size)
+
     pts_s = points3d[idx]                       # [K, S, 3]
     uv_s = uv_obs[idx]                          # [K, S, 2]
-    rays_s = normalized_rays(intr, uv_s)
+    rays_s = normalized_rays(intr, uv_s[:K_dlt])
 
-    R, t = solve_dlt(pts_s, rays_s)             # [K, 3, 3], [K, 3]
+    R_d, t_d = solve_dlt(pts_s[:K_dlt], rays_s)  # [K_dlt, 3, 3]
+    if points3d_obs is not None:
+        R_k, t_k = solve_kabsch(pts_s[K_dlt:], points3d_obs[idx[K_dlt:]])
+        R = jnp.concatenate([R_d, R_k], axis=0)
+        t = jnp.concatenate([t_d, t_k], axis=0)
+    else:
+        R, t = R_d, t_d
 
     # float32 DLT on 6 points is only a coarse initializer (the 11th
     # singular value is near the noise floor); polish every hypothesis

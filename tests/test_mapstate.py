@@ -1,0 +1,129 @@
+"""Map-state semantics tests: insertion, landmark fusion, windowing
+(mirrors the reference behaviors in Map.cpp:7-105)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import MapConfig, OrbConfig
+from kbslam.frontend.orb import Features
+from kbslam.geom.se3 import SE3
+from kbslam.mapping.state import (
+    NO_MP, create_map_points, empty_map, insert_keyframe, window_slots,
+)
+from kbslam.matching.hamming import MatchResult
+
+MCFG = MapConfig(max_keyframes=4, max_map_points=64)
+OCFG = OrbConfig(max_features=8, num_levels=1)
+
+
+def fake_feats(rng, f=8, valid=None):
+    if valid is None:
+        valid = np.ones(f, bool)
+    return Features(
+        xy=jnp.asarray(rng.uniform(0, 100, size=(f, 2)).astype(np.float32)),
+        response=jnp.ones(f),
+        angle=jnp.zeros(f),
+        level=jnp.zeros(f, jnp.int32),
+        valid=jnp.asarray(valid),
+        desc=jnp.asarray(rng.integers(0, 2, size=(f, 256), dtype=np.uint8)),
+    )
+
+
+def no_match(f=8):
+    return MatchResult(
+        best_idx=jnp.zeros(f, jnp.int32),
+        best_dist=jnp.zeros(f, jnp.int32),
+        second_dist=jnp.zeros(f, jnp.int32),
+        is_match=jnp.zeros(f, bool),
+    )
+
+
+def test_insert_keyframe_ring():
+    rng = np.random.default_rng(0)
+    m = empty_map(MCFG, OCFG)
+    assert bool(m.is_empty())
+    for i in range(6):  # overflow the ring of 4
+        pose = SE3.identity()._replace(t=jnp.array([float(i), 0, 0]))
+        m = insert_keyframe(m, fake_feats(rng), jnp.ones(8), pose)
+    assert int(m.num_kf) == 6
+    assert int(m.last_slot()) == 5 % 4
+    np.testing.assert_allclose(np.asarray(m.last_kf_pose().t), [5, 0, 0])
+    # oldest surviving slots hold KFs 4, 5 (wrapped) and 2, 3
+    assert sorted(np.asarray(m.kf_id).tolist()) == [2, 3, 4, 5]
+
+
+def test_create_map_points_new_and_fused():
+    rng = np.random.default_rng(1)
+    m = empty_map(MCFG, OCFG)
+    pose0 = SE3.identity()
+    f0 = fake_feats(rng)
+    depth0 = jnp.full((8,), 2.0)
+    m = insert_keyframe(m, f0, depth0, pose0)
+
+    # second keyframe: match slots 0,1,2 of KF0 to slots 3,4,5 of KF1
+    f1 = fake_feats(rng)
+    m = insert_keyframe(m, f1, depth0, pose0)
+    match = MatchResult(
+        best_idx=jnp.array([3, 4, 5, 0, 0, 0, 0, 0]),
+        best_dist=jnp.zeros(8, jnp.int32),
+        second_dist=jnp.zeros(8, jnp.int32),
+        is_match=jnp.array([True, True, True, False, False, False, False, False]),
+    )
+    m = create_map_points(m, match, 100.0, 100.0, 50.0, 50.0)
+    assert int(m.num_mp) == 3
+    kf_mp = np.asarray(m.kf_mp)
+    # prev KF slots 0..2 and curr KF slots 3..5 share landmark ids
+    assert (kf_mp[0, :3] >= 0).all()
+    np.testing.assert_array_equal(kf_mp[1, [3, 4, 5]], kf_mp[0, :3])
+    assert (kf_mp[0, 3:] == int(NO_MP)).all()
+
+    # landmark world position = prev pose * unprojection (Map.cpp:29-44)
+    xy = np.asarray(m.kf_kp_xy[0])[0]
+    want = np.array([(xy[0] - 50) * 2 / 100, (xy[1] - 50) * 2 / 100, 2.0])
+    got = np.asarray(m.mp_pos[kf_mp[0, 0]])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # third keyframe fusing landmark 0 again: observation shared, not new
+    f2 = fake_feats(rng)
+    m = insert_keyframe(m, f2, depth0, pose0)
+    match2 = MatchResult(
+        best_idx=jnp.array([0, 0, 0, 7, 0, 0, 0, 0]),
+        best_dist=jnp.zeros(8, jnp.int32),
+        second_dist=jnp.zeros(8, jnp.int32),
+        is_match=jnp.array([False, False, False, True, False, False, False, False]),
+    )
+    # query index 3 of prev KF (slot1) had landmark kf_mp[1,3]
+    prev_lm = kf_mp[1, 3]
+    m = create_map_points(m, match2, 100.0, 100.0, 50.0, 50.0)
+    assert int(m.num_mp) == 3  # no new landmark allocated
+    assert np.asarray(m.kf_mp)[2, 7] == prev_lm
+
+
+def test_window_slots_short_and_full():
+    rng = np.random.default_rng(2)
+    m = empty_map(MCFG, OCFG)
+    for i in range(2):
+        m = insert_keyframe(m, fake_feats(rng), jnp.ones(8), SE3.identity())
+    slots, ids, real = window_slots(m, 3)
+    assert np.asarray(real).tolist() == [False, True, True]
+    assert np.asarray(ids)[np.asarray(real)].tolist() == [0, 1]
+
+    for i in range(3):
+        m = insert_keyframe(m, fake_feats(rng), jnp.ones(8), SE3.identity())
+    slots, ids, real = window_slots(m, 3)
+    assert np.asarray(real).all()
+    assert np.asarray(ids).tolist() == [2, 3, 4]
+    assert np.asarray(slots).tolist() == [2 % 4, 3 % 4, 4 % 4]
+
+
+def test_insert_is_jittable():
+    rng = np.random.default_rng(3)
+    m = empty_map(MCFG, OCFG)
+    f = fake_feats(rng)
+
+    @jax.jit
+    def go(m, f):
+        return insert_keyframe(m, f, jnp.ones(8), SE3.identity())
+
+    m2 = go(m, f)
+    assert int(m2.num_kf) == 1

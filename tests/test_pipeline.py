@@ -1,0 +1,93 @@
+"""Integration tests: full tracking on synthetic RGB-D sequences with
+exact ground truth (the reference has no tests — SURVEY §4 — so the
+acceptance gate is trajectory accuracy, not oracle equality)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kbslam.config import SLAMConfig, OrbConfig, PnPConfig, MapConfig
+from kbslam.eval.trajectory import ate_rmse, rpe
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import quat_to_matrix
+from kbslam.io.synthetic import render_sequence
+from kbslam.pipeline import init_state, make_track_step
+
+
+def small_cfg():
+    return SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        map=MapConfig(max_keyframes=16, max_map_points=8192),
+    )
+
+
+def run_sequence(seq, cfg, use_mask=False):
+    intr = Intrinsics.from_matrix(seq.K)
+    step = make_track_step(cfg, intr, use_mask=use_mask)
+    state = init_state(cfg)
+    est = []
+    outs = []
+    for i in range(len(seq.rgb)):
+        args = [state, jnp.asarray(seq.rgb[i]), jnp.asarray(seq.depth[i])]
+        if use_mask:
+            args.append(jnp.asarray(seq.mask[i]))
+        args.append(jax.random.PRNGKey(i))
+        state, out = step(*args)
+        o = jax.device_get(out)
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(o.pose_q)))
+        T[:3, 3] = o.pose_t
+        est.append(T)
+        outs.append(o)
+    return np.stack(est), outs, state
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    seq = render_sequence(num_frames=30, height=240, width=320)
+    est, outs, state = run_sequence(seq, small_cfg())
+    return seq, est, outs, state
+
+
+def test_tracking_succeeds(tracked):
+    _, _, outs, _ = tracked
+    assert all(o.success for o in outs[1:])
+    assert all(o.num_inliers >= 50 for o in outs[1:])
+
+
+def test_ate_below_threshold(tracked):
+    seq, est, _, _ = tracked
+    ate = ate_rmse(est[:, :3, 3], seq.poses[:, :3, 3])
+    assert ate < 0.05, f"ATE {ate:.3f} m too high"
+
+
+def test_rpe_below_threshold(tracked):
+    seq, est, _, _ = tracked
+    t_err, r_err = rpe(est, seq.poses)
+    assert t_err < 0.03
+    assert r_err < 0.02
+
+
+def test_keyframes_inserted(tracked):
+    _, _, outs, state = tracked
+    n_kf = int(state.map.num_kf)
+    assert n_kf >= 2
+    assert int(state.map.num_mp) > 100
+    assert outs[0].added_kf  # first frame always inserts
+
+
+def test_deterministic():
+    seq = render_sequence(num_frames=8, height=240, width=320)
+    est1, _, _ = run_sequence(seq, small_cfg())
+    est2, _, _ = run_sequence(seq, small_cfg())
+    np.testing.assert_array_equal(est1, est2)
+
+
+def test_mask_path_ignores_dynamic_object():
+    seq = render_sequence(num_frames=20, height=240, width=320, moving_box=True)
+    est, outs, _ = run_sequence(seq, small_cfg(), use_mask=True)
+    assert all(o.success for o in outs[1:])
+    ate = ate_rmse(est[:, :3, 3], seq.poses[:, :3, 3])
+    assert ate < 0.06
