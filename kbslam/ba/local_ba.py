@@ -1,0 +1,76 @@
+"""Sliding-window local bundle adjustment: build -> solve -> write back.
+
+The reference runs this on a detached thread per keyframe insertion
+(main.cpp:40-47) with snapshot/writeback under a global mutex
+(Optimizers.cpp:56-65, 222-262) — and a documented race in between. Our
+equivalent is a pure function MapState -> MapState: the host shell can
+overlap it with tracking via JAX async dispatch and merge results,
+giving the same snapshot-optimize-writeback semantics without the race.
+
+Post-solve landmark pruning matches Optimizers.cpp:225-247: a window
+landmark is dropped when it has <2 window observations, <2 gated-in
+observations, or a gated-in ratio < 0.4; dropping clears the window
+keyframes' slots only (other keyframes keep their references, like the
+reference's reset of window vecMapPoints entries).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import BAConfig
+from kbslam.geom.camera import Intrinsics
+from kbslam.mapping.state import MapState
+from kbslam.ba.lm import BASolution, solve_window
+from kbslam.ba.problem import BAProblem, build_problem
+
+
+class BAStats(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    num_pruned: jnp.ndarray
+
+
+def local_ba(
+    state: MapState, intr: Intrinsics, cfg: BAConfig
+) -> Tuple[MapState, BAStats]:
+    prob = build_problem(state, intr, cfg)
+    sol = solve_window(prob, state.mp_pos, intr, cfg)
+
+    ran = state.num_kf >= 2  # nothing to optimize below two keyframes
+
+    # --- pose/point writeback (Optimizers.cpp:249-259) --------------------
+    row_idx = jnp.where(prob.real & ran, prob.slots, state.capacity_kf)
+    kf_q = state.kf_q.at[row_idx].set(sol.cam_q, mode="drop")
+    kf_t = state.kf_t.at[row_idx].set(sol.cam_t, mode="drop")
+    mp_pos = jnp.where(ran, sol.mp_pos, state.mp_pos)
+
+    # --- pruning (Optimizers.cpp:225-247) ---------------------------------
+    total = prob.total_obs
+    inl = prob.inlier_obs
+    ratio = inl.astype(jnp.float32) / jnp.maximum(total.astype(jnp.float32), 1.0)
+    drop = prob.touched & (
+        (total < cfg.prune_min_obs)
+        | (inl < cfg.prune_min_inlier_kfs)
+        | (ratio < cfg.prune_min_inlier_ratio)
+    ) & ran
+
+    window_rows = state.kf_mp[prob.slots]                     # [W, F]
+    dropped_here = drop[jnp.clip(window_rows, 0)] & (window_rows >= 0)
+    new_rows = jnp.where(dropped_here, -1, window_rows)
+    kf_mp = state.kf_mp.at[row_idx].set(new_rows, mode="drop")
+
+    stats = BAStats(
+        initial_cost=sol.initial_cost,
+        final_cost=sol.final_cost,
+        iterations=sol.iterations,
+        num_pruned=jnp.sum(drop.astype(jnp.int32)),
+    )
+    return state._replace(kf_q=kf_q, kf_t=kf_t, mp_pos=mp_pos, kf_mp=kf_mp), stats
+
+
+def make_local_ba(cfg: BAConfig, intr: Intrinsics):
+    return jax.jit(lambda s: local_ba(s, intr, cfg), donate_argnums=(0,))

@@ -1,0 +1,124 @@
+"""SLAM system host shell — the reference's main loop (main.cpp:13-63)
+as a thin Python driver around two jitted programs.
+
+The reference wires Camera -> Map -> VisualOdometry -> Viewer -> BA and
+owns the BA-thread gating (atomic flag + detached thread). Here the
+device does all the work: ``track_step`` and ``local_ba`` are two
+compiled programs; JAX's async dispatch already overlaps host-side
+ingress/decoding with device compute. BA runs immediately after a
+keyframe insertion (the reference's commented-out synchronous variant,
+main.cpp:48-50, minus its race) or can be deferred/skipped via
+``ba_mode``.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kbslam.config import SLAMConfig
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import quat_to_matrix
+from kbslam.ba.local_ba import make_local_ba
+from kbslam.pipeline import init_state, make_track_step
+
+
+class SLAM:
+    """Stateful host wrapper: feed RGB-D frames, read back trajectory/map."""
+
+    def __init__(
+        self,
+        config: SLAMConfig,
+        K: np.ndarray,
+        ba_mode: str = "on_keyframe",  # "on_keyframe" | "disabled"
+        use_mask: bool = True,
+        seed: int = 0,
+    ):
+        assert ba_mode in ("on_keyframe", "disabled")
+        self.config = config
+        self.intr = Intrinsics.from_matrix(K)
+        self.ba_mode = ba_mode
+        self.use_mask = use_mask
+        self._step = make_track_step(config, self.intr, use_mask=use_mask)
+        self._ba = make_local_ba(config.ba, self.intr)
+        self.state = init_state(config)
+        self._key = jax.random.PRNGKey(seed)
+        self._frame = 0
+        self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
+        self.frame_poses: List[np.ndarray] = []  # per input frame (held on failure)
+        self.diagnostics: List[dict] = []
+        self.ba_stats: List[dict] = []
+
+    def process(self, rgb, depth, mask=None) -> dict:
+        """Track one frame; runs local BA when a keyframe was inserted."""
+        key = jax.random.fold_in(self._key, self._frame)
+        args = [self.state, jnp.asarray(rgb), jnp.asarray(depth)]
+        if self.use_mask:
+            args.append(
+                jnp.asarray(mask)
+                if mask is not None
+                else jnp.ones(rgb.shape[:2], jnp.uint8)
+            )
+        args.append(key)
+        t0 = time.perf_counter()
+        self.state, out = self._step(*args)
+        o = jax.device_get(out)
+
+        ran_ba = False
+        if self.ba_mode == "on_keyframe" and bool(o.added_kf):
+            tb = time.perf_counter()
+            new_map, stats = self._ba(self.state.map)
+            self.state = self.state._replace(map=new_map)
+            s = jax.device_get(stats)
+            self.ba_stats.append(
+                dict(
+                    initial_cost=float(s.initial_cost),
+                    final_cost=float(s.final_cost),
+                    iterations=int(s.iterations),
+                    num_pruned=int(s.num_pruned),
+                    wall_ms=(time.perf_counter() - tb) * 1e3,
+                )
+            )
+            ran_ba = True
+
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(o.pose_q)))
+        T[:3, 3] = o.pose_t
+        if bool(o.success) or self._frame == 0:
+            self.trajectory.append(T)
+        self.frame_poses.append(T)
+
+        diag = dict(
+            frame=self._frame,
+            success=bool(o.success),
+            added_kf=bool(o.added_kf),
+            ran_ba=ran_ba,
+            inlier_ratio=float(o.inlier_ratio),
+            num_matches=int(o.num_matches),
+            num_inliers=int(o.num_inliers),
+            num_features=int(o.num_features),
+            wall_ms=(time.perf_counter() - t0) * 1e3,
+        )
+        self.diagnostics.append(diag)
+        self._frame += 1
+        return diag
+
+    # --- map accessors (Map::GetKeyFramesPositions / GetMapPointsPositions,
+    # Map.cpp:80-101 — display remap (x,-z,-y) applied by the viewer) ------
+    def keyframe_positions(self) -> np.ndarray:
+        m = self.state.map
+        valid = np.asarray(m.kf_id) >= 0
+        return np.asarray(m.kf_t)[valid]
+
+    def map_points(self) -> np.ndarray:
+        m = self.state.map
+        mp = np.asarray(m.kf_mp)
+        ids = np.unique(mp[mp >= 0])
+        return np.asarray(m.mp_pos)[ids] if len(ids) else np.zeros((0, 3))
+
+    @property
+    def num_keyframes(self) -> int:
+        return int(self.state.map.num_kf)

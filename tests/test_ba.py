@@ -1,0 +1,153 @@
+"""Bundle adjustment tests: convergence on synthetic windows, gauge
+handling, scale anchoring, pruning semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from kbslam.config import BAConfig, MapConfig, OrbConfig
+from kbslam.geom.camera import Intrinsics, project
+from kbslam.geom.se3 import SE3
+from kbslam.mapping.state import empty_map
+from kbslam.ba.problem import build_problem
+from kbslam.ba.local_ba import local_ba
+
+INTR = Intrinsics.create(300.0, 300.0, 160.0, 120.0)
+MCFG = MapConfig(max_keyframes=8, max_map_points=512)
+OCFG = OrbConfig(max_features=64, num_levels=1)
+BCFG = BAConfig()
+
+
+def build_synthetic_state(rng, n_kf=5, n_pts=60, pose_noise=0.002, pt_noise=0.002,
+                          px_noise=0.0):
+    # noise sized to keep most initial residuals inside the chi2 gate
+    # (err <= 2.45 px at sigma=1): fx * pose_noise ~ 1.2 px
+    """World: points in front of cameras on a slight arc. Each KF observes
+    every point (all slots share landmark ids). Ground truth observations
+    come from exact poses; the state stores NOISY poses/points."""
+    pts_w = rng.uniform(low=[-1.5, -1.5, 2.0], high=[1.5, 1.5, 5.0],
+                        size=(n_pts, 3)).astype(np.float32)
+    gt_poses = []
+    for i in range(n_kf):
+        t = np.array([0.15 * i, 0.02 * i, -0.05 * i], np.float32)
+        R = Rotation.from_rotvec([0.0, 0.03 * i, 0.01 * i]).as_matrix()
+        gt_poses.append((R.astype(np.float32), t))
+
+    state = empty_map(MCFG, OCFG)
+    F = OCFG.max_features
+
+    kf_q, kf_t, kf_xy, kf_valid, kf_mp = [], [], [], [], []
+    for i, (R, t) in enumerate(gt_poses):
+        T = SE3.from_rotation_translation(jnp.asarray(R), jnp.asarray(t))
+        pc = T.inverse().apply(jnp.asarray(pts_w))
+        uv, z = project(INTR, pc)
+        uv = np.asarray(uv)
+        if px_noise:
+            uv = uv + rng.normal(scale=px_noise, size=uv.shape)
+
+        # noisy stored pose (except newest: gauge reference)
+        if i < n_kf - 1:
+            dq = Rotation.from_rotvec(rng.normal(scale=pose_noise, size=3)).as_matrix()
+            Rn = R @ dq
+            tn = t + rng.normal(scale=pose_noise, size=3)
+        else:
+            Rn, tn = R, t
+        Tn = SE3.from_rotation_translation(jnp.asarray(Rn.astype(np.float32)),
+                                           jnp.asarray(tn.astype(np.float32)))
+        kf_q.append(np.asarray(Tn.q))
+        kf_t.append(np.asarray(Tn.t))
+        xy = np.zeros((F, 2), np.float32)
+        xy[:n_pts] = uv
+        kf_xy.append(xy)
+        valid = np.zeros(F, bool)
+        valid[:n_pts] = True
+        kf_valid.append(valid)
+        mp = np.full(F, -1, np.int32)
+        mp[:n_pts] = np.arange(n_pts)
+        kf_mp.append(mp)
+
+    noisy_pts = pts_w + rng.normal(scale=pt_noise, size=pts_w.shape).astype(np.float32)
+    mp_pos = np.zeros((MCFG.max_map_points, 3), np.float32)
+    mp_pos[:n_pts] = noisy_pts
+    mp_valid = np.zeros(MCFG.max_map_points, bool)
+    mp_valid[:n_pts] = True
+
+    state = state._replace(
+        kf_q=state.kf_q.at[:n_kf].set(jnp.asarray(np.stack(kf_q))),
+        kf_t=state.kf_t.at[:n_kf].set(jnp.asarray(np.stack(kf_t))),
+        kf_kp_xy=state.kf_kp_xy.at[:n_kf].set(jnp.asarray(np.stack(kf_xy))),
+        kf_kp_valid=state.kf_kp_valid.at[:n_kf].set(jnp.asarray(np.stack(kf_valid))),
+        kf_mp=state.kf_mp.at[:n_kf].set(jnp.asarray(np.stack(kf_mp))),
+        kf_id=state.kf_id.at[:n_kf].set(jnp.arange(n_kf)),
+        num_kf=jnp.int32(n_kf),
+        mp_pos=jnp.asarray(mp_pos),
+        mp_valid=jnp.asarray(mp_valid),
+        num_mp=jnp.int32(n_pts),
+    )
+    return state, pts_w, gt_poses
+
+
+def test_problem_construction():
+    rng = np.random.default_rng(0)
+    state, pts, gt = build_synthetic_state(rng)
+    prob = build_problem(state, INTR, BCFG)
+    assert np.asarray(prob.real).all()
+    a = np.asarray(prob.active)
+    assert a[:, :60].mean() > 0.9  # nearly all obs gated in
+    assert not a[:, 60:].any()
+    assert int(prob.anchor_mp) >= 0
+    assert int(prob.fixed_cam) == BCFG.window - 1
+    # counts: every landmark observed by all 5 window KFs
+    tot = np.asarray(prob.total_obs)
+    assert (tot[:60] == 5).all()
+
+
+def test_ba_reduces_cost_and_recovers_geometry():
+    rng = np.random.default_rng(1)
+    state, pts_w, gt_poses = build_synthetic_state(rng)
+    new_state, stats = jax.jit(lambda s: local_ba(s, INTR, BCFG))(state)
+
+    assert float(stats.final_cost) < 0.01 * float(stats.initial_cost)
+
+    # newest pose untouched (gauge)
+    np.testing.assert_allclose(
+        np.asarray(new_state.kf_t[4]), gt_poses[4][1], atol=1e-6)
+
+    # optimized poses close to ground truth
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(new_state.kf_t[i]), gt_poses[i][1], atol=0.01)
+    # points recovered
+    err = np.linalg.norm(np.asarray(new_state.mp_pos[:60]) - pts_w, axis=1)
+    assert np.median(err) < 0.01
+
+
+def test_ba_with_pixel_noise_converges():
+    rng = np.random.default_rng(2)
+    state, pts_w, gt_poses = build_synthetic_state(rng, px_noise=0.5)
+    new_state, stats = local_ba(state, INTR, BCFG)
+    assert float(stats.final_cost) < float(stats.initial_cost)
+    for i in range(4):
+        assert np.linalg.norm(np.asarray(new_state.kf_t[i]) - gt_poses[i][1]) < 0.05
+
+
+def test_ba_noop_on_single_keyframe():
+    rng = np.random.default_rng(3)
+    state, _, _ = build_synthetic_state(rng, n_kf=1)
+    new_state, stats = local_ba(state, INTR, BCFG)
+    np.testing.assert_array_equal(np.asarray(new_state.kf_q), np.asarray(state.kf_q))
+    np.testing.assert_array_equal(np.asarray(new_state.mp_pos), np.asarray(state.mp_pos))
+
+
+def test_pruning_drops_under_observed_landmarks():
+    rng = np.random.default_rng(4)
+    state, _, _ = build_synthetic_state(rng)
+    # landmark 0: corrupt its position so all its observations fail the
+    # chi2 gate -> 0 inliers -> pruned from window slots
+    state = state._replace(mp_pos=state.mp_pos.at[0].set(jnp.array([50.0, 50.0, 1.0])))
+    new_state, stats = local_ba(state, INTR, BCFG)
+    assert int(stats.num_pruned) >= 1
+    kf_mp = np.asarray(new_state.kf_mp)
+    assert (kf_mp[:5, 0] == -1).all()  # slot 0 cleared in all window KFs
+    # other landmarks survive
+    assert (kf_mp[:5, 1] == 1).all()
