@@ -1,0 +1,298 @@
+"""Sharded global bundle adjustment — the large-scale backend
+(BASELINE.json config 5: 200 keyframes / 50k landmarks).
+
+Scaling design (SURVEY §5.7-5.8): cameras and their observations are
+block-sharded across the device mesh with shard_map; landmarks are
+replicated and reduced with psum over ICI. The reduced camera system
+S = H_cc - U H_pp^-1 U^T is never formed — PCG applies it matrix-free:
+
+    S x = H_cc x - U (H_pp^-1 (psum_p U^T x))
+
+with one [P, 3] psum per product. The preconditioner is block-Jacobi on
+S's 6x6 diagonal blocks — exactly Ceres' SCHUR_JACOBI choice
+(reference Optimizers.cpp:205) — computable locally per camera shard.
+Gauge: camera 0 is held fixed. The same code runs single-device (mesh
+of 1) for the local window, but the dense Schur path in ba/lm.py is
+faster there.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 moved shard_map to the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import SE3, cross_matrix, quat_conj, quat_to_matrix
+from kbslam.ba.lm import _inv3x3
+
+_EPS_Z = 1e-8
+
+
+class GlobalBAData(NamedTuple):
+    """Camera-major observation layout, padded/static.
+
+    cam axis C must be divisible by the mesh axis size (pad with
+    cam_free=False, active=False rows).
+    """
+
+    cam_q: jnp.ndarray    # [C, 4] T_wc
+    cam_t: jnp.ndarray    # [C, 3]
+    obs_uv: jnp.ndarray   # [C, F, 2]
+    mp_id: jnp.ndarray    # [C, F] int32 (-1 = none)
+    active: jnp.ndarray   # [C, F] bool
+    w_z: jnp.ndarray      # [C, F] fixed robust/depth weights
+    cam_free: jnp.ndarray # [C] bool (False: gauge-fixed or padding)
+    mp_pos: jnp.ndarray   # [P, 3] replicated landmarks
+    anchor_mp: jnp.ndarray  # [] int32 scale-anchor landmark held fixed
+    # (-1 = none). Reprojection-only BA with one fixed camera leaves a
+    # scale gauge freedom (the 7th dof); the local window pins it with
+    # the reference's depth prior (Optimizers.hpp:50-67), the global
+    # solver pins the anchor landmark itself.
+
+
+def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr):
+    """Residuals, IRLS weights, and Jacobian blocks for a camera shard."""
+    X = mp_pos[jnp.clip(mp_id, 0)]                             # [c, F, 3]
+    T_inv = SE3(cam_q[:, None, :], cam_t[:, None, :]).inverse()
+    pc = T_inv.apply(X)
+    z = jnp.maximum(pc[..., 2], _EPS_Z)
+    u = intr.fx * pc[..., 0] / z + intr.cx
+    v = intr.fy * pc[..., 1] / z + intr.cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv
+
+    n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
+    w = w_z * jnp.minimum(1.0, 1.0 / n) * active               # Huber delta=1
+
+    inv_z = 1.0 / z
+    zero = jnp.zeros_like(z)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([intr.fx * inv_z, zero, -intr.fx * pc[..., 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, intr.fy * inv_z, -intr.fy * pc[..., 1] * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )
+    R_cw = quat_to_matrix(quat_conj(cam_q))
+    J_pt = jnp.einsum("cfab,cbd->cfad", J_proj, R_cw)          # [c, F, 2, 3]
+    J_cam = jnp.concatenate(
+        [-J_pt, jnp.einsum("cfab,cfbd->cfad", J_pt, cross_matrix(X))], axis=-1
+    )                                                          # [c, F, 2, 6]
+    cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0) * active)
+    return r, w, J_cam, J_pt, cost
+
+
+def _inv6x6(M):
+    return jnp.linalg.inv(M)
+
+
+def global_ba_step(
+    data: GlobalBAData,
+    intr: Intrinsics,
+    mesh: Mesh,
+    axis: str = "stream",
+    pcg_iters: int = 30,
+    damping: float = 1e-4,
+) -> tuple[GlobalBAData, jnp.ndarray]:
+    """One damped Gauss-Newton step of global BA, sharded over ``axis``.
+    Returns (updated data, pre-step robust cost)."""
+    Pn = data.mp_pos.shape[0]
+    F = data.mp_id.shape[1]
+
+    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
+               anchor_mp):
+        # local camera shard: [c, ...] with c = C / n_devices
+        c = cam_q.shape[0]
+        r, w, J_cam, J_pt, local_cost = _per_obs_terms(
+            cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr)
+        cost = jax.lax.psum(local_cost, axis)
+
+        obs_p = jnp.where(active, mp_id, Pn).reshape(-1)
+
+        # landmark system: psum over camera shards -> replicated
+        Hp_obs = jnp.einsum("cfri,cf,cfrj->cfij", J_pt, w, J_pt)
+        bp_obs = -jnp.einsum("cfri,cf,cfr->cfi", J_pt, w, r)
+        H_pp = jax.lax.psum(
+            jnp.zeros((Pn, 3, 3)).at[obs_p].add(Hp_obs.reshape(-1, 3, 3),
+                                                mode="drop"), axis)
+        b_p = jax.lax.psum(
+            jnp.zeros((Pn, 3)).at[obs_p].add(bp_obs.reshape(-1, 3),
+                                             mode="drop"), axis)
+        p_act = jax.lax.psum(
+            jnp.zeros((Pn,)).at[obs_p].add(jnp.ones_like(obs_p, jnp.float32),
+                                           mode="drop"), axis) > 0
+        # scale anchor: freeze the anchor landmark (see GlobalBAData)
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, (Pn, 1), 0)[:, 0]
+        p_act = p_act & (p_ids != anchor_mp)
+
+        dscale = 1.0 + damping
+        H_pp_d = H_pp * jnp.eye(3) * dscale + H_pp * (1 - jnp.eye(3))
+        H_pp_d = H_pp_d + 1e-8 * jnp.eye(3)
+        Hpp_inv = _inv3x3(H_pp_d) * p_act[:, None, None]
+
+        # camera blocks (local)
+        maskc = cam_free.astype(jnp.float32)
+        H_cc = jnp.einsum("cfri,cf,cfrj->cij", J_cam, w, J_cam)
+        H_cc = H_cc * dscale * jnp.eye(6) + H_cc * (1 - jnp.eye(6))
+        b_c = -jnp.einsum("cfri,cf,cfr->ci", J_cam, w, r) * maskc[:, None]
+        U = jnp.einsum("cfri,cf,cfrj->cfij", J_cam, w, J_pt)   # [c, F, 6, 3]
+        U = U * maskc[:, None, None, None]
+
+        # reduced rhs: b~ = b_c - U Hpp^-1 b_p  (local, b_p replicated)
+        Hib = jnp.einsum("pij,pj->pi", Hpp_inv, b_p)           # [P, 3]
+        b_t = b_c - jnp.einsum("cfij,cfj->ci", U, Hib[jnp.clip(mp_id, 0)] *
+                               active[..., None])
+
+        # SCHUR_JACOBI preconditioner: diagonal 6x6 blocks of S (local)
+        HiU = jnp.einsum("cfkj,cfjl->cfkl", U,
+                         Hpp_inv[jnp.clip(mp_id, 0)] * active[..., None, None])
+        S_diag = H_cc - jnp.einsum("cfkl,cfml->ckm", HiU, U)
+        S_diag = S_diag + (1.0 - maskc)[:, None, None] * jnp.eye(6)
+        M_inv = _inv6x6(S_diag)
+
+        def S_apply(x):  # x: [c, 6] local shard of cameras
+            x = x * maskc[:, None]
+            t1 = jnp.einsum("cij,cj->ci", H_cc, x)
+            UTx = jnp.einsum("cfij,ci->cfj", U, x)             # [c, F, 3]
+            v = jax.lax.psum(
+                jnp.zeros((Pn, 3)).at[obs_p].add(
+                    (UTx * active[..., None]).reshape(-1, 3), mode="drop"),
+                axis)
+            wv = jnp.einsum("pij,pj->pi", Hpp_inv, v)
+            t2 = jnp.einsum("cfij,cfj->ci", U,
+                            wv[jnp.clip(mp_id, 0)] * active[..., None])
+            return (t1 - t2) * maskc[:, None]
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), axis)
+
+        # PCG (fixed iterations)
+        x0 = jnp.zeros_like(b_t)
+        r0 = b_t
+        z0 = jnp.einsum("cij,cj->ci", M_inv, r0)
+        p0 = z0
+
+        def body(_, st):
+            x, rr, z, p, rz = st
+            Ap = S_apply(p)
+            alpha = rz / jnp.maximum(pdot(p, Ap), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = jnp.einsum("cij,cj->ci", M_inv, rr)
+            rz_new = pdot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return x, rr, z, p, rz_new
+
+        x, *_ = jax.lax.fori_loop(0, pcg_iters, body,
+                                  (x0, r0, z0, p0, pdot(r0, z0)))
+        delta_c = x * maskc[:, None]
+
+        # landmark back-substitution (replicated)
+        UTd = jnp.einsum("cfij,ci->cfj", U, delta_c)
+        v = jax.lax.psum(
+            jnp.zeros((Pn, 3)).at[obs_p].add(
+                (UTd * active[..., None]).reshape(-1, 3), mode="drop"), axis)
+        delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - v) * p_act[:, None]
+
+        dT = SE3.exp(delta_c)
+        T_new = dT.compose(SE3(cam_q, cam_t)).normalize()
+        cam_q_new = jnp.where(cam_free[:, None], T_new.q, cam_q)
+        cam_t_new = jnp.where(cam_free[:, None], T_new.t, cam_t)
+        mp_new = mp_pos + delta_p
+        return cam_q_new, cam_t_new, mp_new, cost
+
+    sharded = P(axis)
+    rep = P()
+    fn = _shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
+                  sharded, rep, rep),
+        out_specs=(sharded, sharded, rep, rep),
+    )
+    cam_q, cam_t, mp_pos, cost = jax.jit(fn)(
+        data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
+        data.w_z, data.cam_free, data.mp_pos, data.anchor_mp)
+    return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), cost
+
+
+# ---------------------------------------------------------------------------
+def make_synthetic_global_problem(rng, n_cams=8, n_pts=64, f_slots=64,
+                                  noise=0.005):
+    """Small synthetic global-BA problem (host numpy), for tests/dryrun."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    fx = fy = 100.0
+    cx = cy = 50.0
+    intr = Intrinsics.create(fx, fy, cx, cy)
+    pts = rng.uniform([-1, -1, 2.0], [1, 1, 4.0], size=(n_pts, 3)).astype(np.float32)
+    cam_q, cam_t, obs_uv, mp_id, active = [], [], [], [], []
+    for i in range(n_cams):
+        t = np.array([0.1 * i, 0.0, -0.02 * i], np.float32)
+        R = Rotation.from_rotvec([0, 0.01 * i, 0]).as_matrix().astype(np.float32)
+        pc = (pts - t) @ R
+        uv = np.stack([fx * pc[:, 0] / pc[:, 2] + cx,
+                       fy * pc[:, 1] / pc[:, 2] + cy], -1)
+        if i > 0:
+            dR = Rotation.from_rotvec(rng.normal(scale=noise, size=3)).as_matrix()
+            R = (R @ dR).astype(np.float32)
+            t = t + rng.normal(scale=noise, size=3).astype(np.float32)
+        T = SE3.from_rotation_translation(jnp.asarray(R), jnp.asarray(t))
+        cam_q.append(np.asarray(T.q))
+        cam_t.append(np.asarray(T.t))
+        pad_uv = np.zeros((f_slots, 2), np.float32)
+        pad_uv[:n_pts] = uv
+        obs_uv.append(pad_uv)
+        ids = np.full(f_slots, -1, np.int32)
+        ids[:n_pts] = np.arange(n_pts)
+        mp_id.append(ids)
+        act = np.zeros(f_slots, bool)
+        act[:n_pts] = True
+        active.append(act)
+
+    P_cap = n_pts + 16
+    mp_pos = np.zeros((P_cap, 3), np.float32)
+    mp_pos[:n_pts] = pts + rng.normal(scale=noise, size=pts.shape).astype(np.float32)
+    mp_pos[0] = pts[0]  # scale-anchor landmark kept at truth
+    cam_free = np.ones(n_cams, bool)
+    cam_free[0] = False
+    data = GlobalBAData(
+        cam_q=jnp.asarray(np.stack(cam_q)),
+        cam_t=jnp.asarray(np.stack(cam_t)),
+        obs_uv=jnp.asarray(np.stack(obs_uv)),
+        mp_id=jnp.asarray(np.stack(mp_id)),
+        active=jnp.asarray(np.stack(active)),
+        w_z=jnp.ones((n_cams, f_slots), jnp.float32),
+        cam_free=jnp.asarray(cam_free),
+        mp_pos=jnp.asarray(mp_pos),
+        anchor_mp=jnp.int32(0),
+    )
+    gt = dict(pts=pts)
+    return data, intr, gt
+
+
+def dryrun_sharded_global_ba(mesh: Mesh, axis: str = "stream") -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = mesh.devices.size
+    data, intr, _ = make_synthetic_global_problem(rng, n_cams=max(8, n))
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    data = GlobalBAData(
+        *[jax.device_put(x, shard) for x in data[:7]],
+        jax.device_put(data.mp_pos, rep),
+        jax.device_put(data.anchor_mp, rep),
+    )
+    data2, cost = global_ba_step(data, intr, mesh, axis=axis, pcg_iters=10)
+    assert bool(jnp.isfinite(cost)), "global BA cost not finite"
+    assert bool(jnp.all(jnp.isfinite(data2.cam_t))), "global BA produced NaNs"

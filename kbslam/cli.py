@@ -1,0 +1,132 @@
+"""Command-line entry point — the reference's `vo` executable + Makefile
+`start` target (main.cpp, Makefile:14-16) as `python -m kbslam.cli`.
+
+Sources:
+  synthetic            rendered RGB-D with ground truth (default)
+  tum:/path/to/seq     TUM RGB-D sequence directory
+  zmq[:tcp://host:p]   live camera-manager stream (reference ingress)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("kbslam")
+    ap.add_argument("--source", default="synthetic")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--ba", choices=["on", "off"], default="on")
+    ap.add_argument("--mask", action="store_true",
+                    help="apply static-element masks (reference mask path)")
+    ap.add_argument("--viewer", choices=["rerun", "none"], default="none")
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--eval", action="store_true",
+                    help="print ATE/RPE vs ground truth when available")
+    ap.add_argument("--save-trajectory", default=None,
+                    help="write TUM-format trajectory to this path")
+    args = ap.parse_args(argv)
+
+    from kbslam.config import DEFAULT_CONFIG
+    from kbslam.slam import SLAM
+    from kbslam.viz.rerun_viewer import Viewer
+
+    gts = []
+    if args.source.startswith("tum:"):
+        from kbslam.io.tum import TUMDataset
+
+        ds = TUMDataset(args.source[4:])
+        K = ds.K
+        cfg = DEFAULT_CONFIG
+        import dataclasses
+
+        cfg = cfg.replace(map=dataclasses.replace(cfg.map,
+                                                  depth_scale=ds.depth_scale))
+        frames = iter(ds)
+    elif args.source.startswith("zmq"):
+        from kbslam.io.zmq_camera import ZMQCamera, DEFAULT_ENDPOINT
+
+        ep = args.source[4:] if ":" in args.source else DEFAULT_ENDPOINT
+        cam = ZMQCamera(ep or DEFAULT_ENDPOINT)
+        K, _ = cam.get_intrinsics()
+        cfg = DEFAULT_CONFIG
+
+        def _gen():
+            while True:
+                f = cam.grab_frames()
+                if f is None:
+                    return
+                yield f[0], f[1], f[2], None
+
+        frames = _gen()
+    else:
+        from kbslam.io.synthetic import render_sequence
+
+        seq = render_sequence(num_frames=args.frames, height=args.height,
+                              width=args.width,
+                              fx=525.0 * args.width / 640.0)
+        K = seq.K
+        cfg = DEFAULT_CONFIG
+        frames = (
+            (seq.rgb[i], seq.depth[i], seq.mask[i], seq.poses[i])
+            for i in range(len(seq.rgb))
+        )
+
+    if (args.height, args.width) != (cfg.image_height, cfg.image_width):
+        cfg = cfg.replace(image_height=args.height, image_width=args.width)
+
+    slam = SLAM(cfg, K, ba_mode="on_keyframe" if args.ba == "on" else "disabled",
+                use_mask=args.mask)
+    viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
+
+    n = 0
+    for rgb, depth, mask, gt in frames:
+        if n >= args.frames:
+            break
+        d = slam.process(rgb, depth, mask if args.mask else None)
+        if gt is not None:
+            gts.append(gt)
+        if viewer is not None:
+            traj = np.stack([T[:3, 3] for T in slam.frame_poses])
+            viewer.update(traj, slam.keyframe_positions(), slam.map_points(),
+                          rgb, depth, mask)
+        if d["frame"] % 30 == 0:
+            print(f"frame {d['frame']}: success={d['success']} "
+                  f"kf={d['added_kf']} inliers={d['num_inliers']} "
+                  f"{d['wall_ms']:.1f} ms", file=sys.stderr)
+        n += 1
+
+    est = np.stack(slam.frame_poses)
+    summary = dict(
+        frames=n,
+        success=sum(x["success"] for x in slam.diagnostics),
+        keyframes=slam.num_keyframes,
+        ba_runs=len(slam.ba_stats),
+        mean_track_ms=float(np.mean([x["wall_ms"] for x in slam.diagnostics][1:]))
+        if n > 1 else None,
+    )
+    if args.eval and len(gts) == n and n > 1:
+        from kbslam.eval.trajectory import ate_rmse, rpe
+
+        gt_arr = np.stack(gts)
+        summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
+        t_err, r_err = rpe(est, gt_arr)
+        summary["rpe_trans_m"] = t_err
+        summary["rpe_rot_rad"] = r_err
+    if args.save_trajectory:
+        with open(args.save_trajectory, "w") as f:
+            for i, T in enumerate(est):
+                from scipy.spatial.transform import Rotation
+
+                q = Rotation.from_matrix(T[:3, :3]).as_quat()
+                f.write(f"{i} {T[0,3]} {T[1,3]} {T[2,3]} "
+                        f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,10 @@ def detect_and_compute(
         cand = jnp.where((score > 0) & region, harris, _NEG)
 
         k = quotas[lv]
-        vals, idx = jax.lax.top_k(cand.reshape(-1), k)
+        # barrier: keep the dense FAST/Harris producers out of top_k's
+        # sort comparator (XLA fusion recompute blowup on TPU)
+        vals, idx = jax.lax.top_k(
+            jax.lax.optimization_barrier(cand.reshape(-1)), k)
         valid = vals > _NEG * 0.5
         x = (idx % wl).astype(jnp.float32)
         y = (idx // wl).astype(jnp.float32)

@@ -15,20 +15,30 @@ import jax.numpy as jnp
 
 
 class Intrinsics(NamedTuple):
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
+    """Pinhole intrinsics as HOST floats.
+
+    Deliberately not device arrays: intrinsics are captured in jit
+    closures, and concrete device scalars captured as constants
+    permanently degrade the dispatch path on tunneled TPU platforms
+    (see kbslam/matching/hamming.py). Python floats embed as literals.
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
 
     @staticmethod
     def from_matrix(K) -> "Intrinsics":
-        K = jnp.asarray(K)
-        return Intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+        import numpy as _np
+
+        K = _np.asarray(K)
+        return Intrinsics(float(K[0, 0]), float(K[1, 1]),
+                          float(K[0, 2]), float(K[1, 2]))
 
     @staticmethod
     def create(fx, fy, cx, cy) -> "Intrinsics":
-        f32 = lambda v: jnp.asarray(v, jnp.float32)
-        return Intrinsics(f32(fx), f32(fy), f32(cx), f32(cy))
+        return Intrinsics(float(fx), float(fy), float(cx), float(cy))
 
     def matrix(self) -> jnp.ndarray:
         return jnp.array(

@@ -1,0 +1,98 @@
+"""TUM RGB-D dataset reader (fr1/fr2/fr3 format).
+
+The reference consumes a live ZMQ camera stream only (Camera.cpp); TUM
+sequences are this build's reproducible input for ATE parity
+(BASELINE.json configs 1-3). Standard format: ``rgb.txt`` /
+``depth.txt`` / optional ``groundtruth.txt`` index files with
+timestamped file paths; depth PNGs are 16-bit with scale 1/5000 m
+(note: the reference's live camera is millimetric, scale 1/1000 —
+VisualOdometry.cpp:52 — so SLAMConfig.map.depth_scale must be set from
+``TUMDataset.depth_scale``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def _read_index(path: str) -> List[Tuple[float, str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1]))
+    return out
+
+
+def _read_groundtruth(path: str) -> List[Tuple[float, np.ndarray]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = [float(x) for x in line.split()]
+            # tx ty tz qx qy qz qw
+            out.append((v[0], np.asarray(v[1:8])))
+    return out
+
+
+def _associate(a, b, max_dt=0.02):
+    """Greedy nearest-timestamp association (the standard TUM tool logic)."""
+    pairs = []
+    j = 0
+    for ta, pa in a:
+        while j + 1 < len(b) and abs(b[j + 1][0] - ta) <= abs(b[j][0] - ta):
+            j += 1
+        if abs(b[j][0] - ta) <= max_dt:
+            pairs.append(((ta, pa), b[j]))
+    return pairs
+
+
+class TUMDataset:
+    """Iterates (rgb uint8 [H,W,3], depth uint16 [H,W], mask, T_wc or None)."""
+
+    # default fr1 intrinsics; fr2/fr3 use their own (pass K explicitly)
+    DEFAULT_K = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1.0]])
+    depth_scale = 1.0 / 5000.0
+
+    def __init__(self, root: str, K: Optional[np.ndarray] = None,
+                 max_dt: float = 0.02):
+        self.root = root
+        self.K = K if K is not None else self.DEFAULT_K
+        rgb = _read_index(os.path.join(root, "rgb.txt"))
+        depth = _read_index(os.path.join(root, "depth.txt"))
+        self.pairs = _associate(rgb, depth, max_dt)
+        gt_path = os.path.join(root, "groundtruth.txt")
+        self.groundtruth = _read_groundtruth(gt_path) if os.path.exists(gt_path) else None
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def gt_pose_at(self, t: float) -> Optional[np.ndarray]:
+        if not self.groundtruth:
+            return None
+        ts = [g[0] for g in self.groundtruth]
+        i = int(np.argmin(np.abs(np.asarray(ts) - t)))
+        tx, ty, tz, qx, qy, qz, qw = self.groundtruth[i][1]
+        from scipy.spatial.transform import Rotation
+
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_quat([qx, qy, qz, qw]).as_matrix()
+        T[:3, 3] = [tx, ty, tz]
+        return T
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, None, Optional[np.ndarray]]]:
+        from PIL import Image
+
+        for (t_rgb, rgb_path), (_t_d, d_path) in self.pairs:
+            rgb = np.asarray(Image.open(os.path.join(self.root, rgb_path)))[..., :3]
+            depth = np.asarray(
+                Image.open(os.path.join(self.root, d_path))
+            ).astype(np.uint16)
+            yield rgb, depth, None, self.gt_pose_at(t_rgb)

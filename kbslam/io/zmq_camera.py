@@ -1,0 +1,161 @@
+"""ZMQ RGB-D camera ingress + dataset-driven test-double publisher.
+
+Structural parity with the reference's Camera component (Camera.cpp):
+  - SUB socket connected to tcp://localhost:5555 (Camera.cpp:9,29)
+  - intrinsics handshake on topic "camera/intrinsics" (two frames:
+    topic + payload; empty payload = fatal, Camera.cpp:31-47)
+  - frames on topic "camera/rgbd" as a multipart message: part 1 rgb,
+    part 2 depth, part 3 mask (Camera.cpp:55-91); an empty frame list
+    signals "no frame" and the consumer returns None (Camera.cpp:57-68)
+  - a background capture thread keeps only the LATEST complete triple
+    in a condvar-guarded mailbox; grab_frames() blocks for it
+    (Camera.cpp:14-16, 95-106)
+
+Wire format: the reference serializes with protobuf schemas from the
+``as-serializers`` submodule, which is an EMPTY stub in the mounted
+snapshot (.gitmodules:1-9) — byte-level parity is unverifiable, so
+payloads here use an explicit little-endian header + raw array bytes
+(documented in _pack/_unpack). Topics, socket pattern, and multipart
+structure match the reference.
+"""
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+INTRINSICS_TOPIC = b"camera/intrinsics"
+RGBD_TOPIC = b"camera/rgbd"
+DEFAULT_ENDPOINT = "tcp://localhost:5555"
+
+_DTYPES = {0: np.uint8, 1: np.uint16}
+_DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1}
+
+
+def _pack(img: np.ndarray) -> bytes:
+    """Header: u32 h, u32 w, u8 channels, u8 dtype code; then raw bytes."""
+    img = np.ascontiguousarray(img)
+    c = 1 if img.ndim == 2 else img.shape[2]
+    return (
+        struct.pack("<IIBB", img.shape[0], img.shape[1], c,
+                    _DTYPE_CODES[img.dtype])
+        + img.tobytes()
+    )
+
+
+def _unpack(buf: bytes) -> np.ndarray:
+    h, w, c, code = struct.unpack("<IIBB", buf[:10])
+    arr = np.frombuffer(buf[10:], dtype=_DTYPES[code])
+    return arr.reshape((h, w) if c == 1 else (h, w, c))
+
+
+class ZMQCamera:
+    """Blocking-latest-frame camera, mirroring the reference Camera class."""
+
+    def __init__(self, endpoint: str = DEFAULT_ENDPOINT, timeout_s: float = 30.0):
+        import zmq
+
+        self._ctx = zmq.Context.instance()
+        self._timeout_s = timeout_s
+        self._endpoint = endpoint
+        self._lock = threading.Condition()
+        self._frames: Optional[tuple] = None
+        self._eof = False
+        self._K: Optional[np.ndarray] = None
+        self._dist: Optional[np.ndarray] = None
+        self._k_ready = threading.Event()
+        self._run = True
+        self._thread = threading.Thread(target=self._capture, daemon=True)
+        self._thread.start()
+
+    # Camera::Capture (Camera.cpp:26-93)
+    def _capture(self):
+        import zmq
+
+        sock = self._ctx.socket(zmq.SUB)
+        sock.connect(self._endpoint)
+        sock.setsockopt(zmq.SUBSCRIBE, INTRINSICS_TOPIC)
+        sock.setsockopt(zmq.SUBSCRIBE, RGBD_TOPIC)
+        poller = zmq.Poller()
+        poller.register(sock, zmq.POLLIN)
+        while self._run:
+            if not poller.poll(int(self._timeout_s * 1000)):
+                continue
+            parts = sock.recv_multipart()
+            topic = parts[0]
+            if topic == INTRINSICS_TOPIC:
+                if len(parts) < 2 or not parts[1]:
+                    raise RuntimeError(
+                        "empty intrinsics payload (reference exits here, "
+                        "Camera.cpp:35-39)")
+                meta = json.loads(parts[1])
+                self._K = np.asarray(meta["K"], dtype=np.float64)
+                self._dist = np.asarray(meta.get("dist", [0] * 5), np.float64)
+                self._k_ready.set()
+            elif topic == RGBD_TOPIC:
+                with self._lock:
+                    if len(parts) < 4 or not parts[1]:
+                        # empty message: end-of-stream marker
+                        self._frames = None
+                        self._eof = True
+                    else:
+                        rgb = _unpack(parts[1])
+                        depth = _unpack(parts[2])
+                        mask = _unpack(parts[3])
+                        self._frames = (rgb, depth, mask)
+                    self._lock.notify()
+
+    # Camera::GrabFrames (Camera.cpp:95-106)
+    def grab_frames(self, timeout: Optional[float] = None
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        with self._lock:
+            if self._frames is None and not self._eof:
+                self._lock.wait(timeout or self._timeout_s)
+            frames = self._frames
+            self._frames = None
+            return frames
+
+    # Camera::getIntrinsics (Camera.cpp:108-124)
+    def get_intrinsics(self) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._k_ready.wait(self._timeout_s):
+            raise TimeoutError("no intrinsics received")
+        return self._K, self._dist
+
+    def close(self):
+        self._run = False
+
+
+class FramePublisher:
+    """Test double for the external camera-manager process the reference
+    implicitly depends on (SURVEY §4): publishes intrinsics then frames
+    over the same topics/socket pattern."""
+
+    def __init__(self, endpoint: str = "tcp://*:5555"):
+        import zmq
+
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.PUB)
+        self._sock.bind(endpoint)
+
+    def publish_intrinsics(self, K: np.ndarray, dist=None):
+        payload = json.dumps(
+            {"K": np.asarray(K).tolist(),
+             "dist": list(dist) if dist is not None else [0.0] * 5}
+        ).encode()
+        self._sock.send_multipart([INTRINSICS_TOPIC, payload])
+
+    def publish_frame(self, rgb, depth, mask=None):
+        if mask is None:
+            mask = np.full(rgb.shape[:2], 255, np.uint8)
+        self._sock.send_multipart(
+            [RGBD_TOPIC, _pack(rgb), _pack(depth), _pack(mask)]
+        )
+
+    def publish_end(self):
+        self._sock.send_multipart([RGBD_TOPIC, b""])
+
+    def close(self):
+        self._sock.close(0)

@@ -23,7 +23,9 @@ from kbslam.frontend.orb import Features
 from kbslam.geom.se3 import SE3
 from kbslam.matching.hamming import MatchResult
 
-NO_MP = jnp.int32(-1)
+# Plain Python int, NOT jnp.int32 (module-level device scalars poison the
+# dispatch path on tunneled TPU platforms; see matching/hamming.py note).
+NO_MP = -1
 
 
 class MapState(NamedTuple):

@@ -17,7 +17,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 20)
+# Plain Python int, NOT jnp.int32: a module-level device scalar captured
+# as a jit constant permanently degrades the dispatch path on tunneled
+# TPU platforms (measured: every subsequent call +30 ms).
+_BIG = 1 << 20
 
 
 class MatchResult(NamedTuple):
@@ -59,11 +62,13 @@ def knn2_ratio_match(
     dist = hamming_distance_matrix(query_desc, train_desc)
     dist = jnp.where(train_valid[None, :], dist, _BIG)
 
-    # top-2 smallest along axis 1 via top_k on negated values
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best_idx = idx2[:, 0]
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
+    # top-2 smallest along axis 1 via double argmin: two VPU reduction
+    # passes. (lax.top_k here lets XLA fuse the distance matmul into the
+    # sort comparator — measured 90 ms vs 0.06 ms on TPU v5e.)
+    best = jnp.min(dist, axis=1)
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second = jnp.min(jnp.where(cols == best_idx[:, None], _BIG, dist), axis=1)
 
     is_match = (
         query_valid

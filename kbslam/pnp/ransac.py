@@ -36,7 +36,8 @@ def _sample_valid_indices(key, valid: jnp.ndarray, num_sets: int, set_size: int)
     """Draw [num_sets, set_size] indices uniformly among valid entries."""
     n = valid.shape[0]
     # stable partition: indices of valid entries first
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    order = jnp.argsort(jnp.logical_not(jax.lax.optimization_barrier(valid)),
+                        stable=True)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     u = jax.random.randint(key, (num_sets, set_size), 0, jnp.maximum(n_valid, 1))
     return order[u]
@@ -108,6 +109,9 @@ def ransac_pnp(
     )
     counts = jnp.where(finite, jnp.sum(inlier, axis=1), 0)
 
+    # barrier: stop XLA from fusing the whole scoring pipeline into the
+    # argmax reduction (recompute blowup on TPU)
+    counts = jax.lax.optimization_barrier(counts)
     best = jnp.argmax(counts)
     T0 = SE3(T_h.q[best], T_h.t[best]).normalize()
     best_inliers = inlier[best]

@@ -1,0 +1,73 @@
+"""Rerun visualization egress with the reference's entity-path schema.
+
+Mirrors Viewer.cpp: stream "Visual Odometry"; per frame log of
+  /world/trajectory/points     blue LineStrip3D   (Viewer.cpp:24)
+  /world/trajectory/keyframes  red Points3D r=0.5 (Viewer.cpp:38)
+  /world/trajectory/map        green Points3D r=0.05 (Viewer.cpp:52)
+  /camera/0/rgb                RGB image          (Viewer.cpp:59)
+  /camera/0/depth              colormapped depth (scale 0.02) (Viewer.cpp:66-68)
+  /camera/0/mask               mask image         (Viewer.cpp:83)
+with the display-coordinate remap (x, -z, -y) applied to geometry
+(Map.cpp:86,96). The rerun SDK is not installed in this image, so the
+module degrades to a no-op recorder that still accumulates the logged
+state (tested); with `rerun` available it streams/spawns like the
+reference (Viewer.cpp:9).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+try:
+    import rerun as rr  # noqa: F401
+
+    HAVE_RERUN = True
+except Exception:  # pragma: no cover - rerun not in image
+    HAVE_RERUN = False
+
+from kbslam.geom.camera import to_display_coords  # noqa: F401  (device-side twin)
+
+
+def _remap(points: np.ndarray) -> np.ndarray:
+    """(x, y, z) -> (x, -z, -y), host-side (Map.cpp:86,96)."""
+    if len(points) == 0:
+        return points.reshape(0, 3)
+    return np.stack([points[:, 0], -points[:, 2], -points[:, 1]], axis=-1)
+
+
+class Viewer:
+    def __init__(self, app_name: str = "Visual Odometry", spawn: bool = True):
+        self.enabled = HAVE_RERUN
+        self.last = {}
+        if self.enabled:
+            rr.init(app_name, spawn=spawn)
+
+    def update(
+        self,
+        trajectory: np.ndarray,       # [T, 3] camera positions (world)
+        keyframes: np.ndarray,        # [K, 3]
+        map_points: np.ndarray,       # [P, 3]
+        rgb: Optional[np.ndarray] = None,
+        depth: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+    ):
+        traj = _remap(np.asarray(trajectory, np.float64))
+        kfs = _remap(np.asarray(keyframes, np.float64))
+        mps = _remap(np.asarray(map_points, np.float64))
+        self.last = dict(trajectory=traj, keyframes=kfs, map=mps)
+        if not self.enabled:
+            return
+        rr.log("/world/trajectory/points",
+               rr.LineStrips3D([traj], colors=[[0, 0, 255]]))
+        rr.log("/world/trajectory/keyframes",
+               rr.Points3D(kfs, colors=[[255, 0, 0]], radii=0.5))
+        rr.log("/world/trajectory/map",
+               rr.Points3D(mps, colors=[[0, 255, 0]], radii=0.05))
+        if rgb is not None:
+            rr.log("/camera/0/rgb", rr.Image(rgb))
+        if depth is not None:
+            rr.log("/camera/0/depth",
+                   rr.DepthImage(depth, meter=1000.0))
+        if mask is not None:
+            rr.log("/camera/0/mask", rr.Image(mask))

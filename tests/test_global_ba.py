@@ -1,0 +1,87 @@
+"""Sharded global BA tests on the 8-virtual-device CPU mesh, plus the
+driver's multichip dryrun contract."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kbslam.ba.global_ba import (
+    GlobalBAData, global_ba_step, make_synthetic_global_problem,
+)
+
+
+def make_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("stream",))
+
+
+def place(data, mesh):
+    shard = NamedSharding(mesh, P("stream"))
+    rep = NamedSharding(mesh, P())
+    return GlobalBAData(
+        *[jax.device_put(x, shard) for x in data[:7]],
+        jax.device_put(data.mp_pos, rep),
+        jax.device_put(data.anchor_mp, rep),
+    )
+
+
+def test_global_ba_converges_on_mesh():
+    rng = np.random.default_rng(0)
+    data, intr, gt = make_synthetic_global_problem(rng, n_cams=8, n_pts=64)
+    mesh = make_mesh(8)
+    data = place(data, mesh)
+
+    costs = []
+    for _ in range(6):
+        data, cost = global_ba_step(data, intr, mesh, pcg_iters=25,
+                                    damping=1e-6)
+        costs.append(float(cost))
+    # final cost evaluated after last update
+    _, final = global_ba_step(data, intr, mesh, pcg_iters=1, damping=1e-6)
+    assert float(final) < 1e-3 * costs[0]
+    # landmarks recovered (floor: anchor noise defines the scale gauge)
+    err = np.linalg.norm(np.asarray(data.mp_pos[:64]) - gt["pts"], axis=1)
+    assert np.median(err) < 1e-2
+
+
+def test_global_ba_matches_single_device():
+    """Same problem on 1 device and 8 devices: identical trajectories of
+    cost (determinism across shardings up to float noise)."""
+    rng = np.random.default_rng(1)
+    data, intr, _ = make_synthetic_global_problem(rng, n_cams=8, n_pts=48)
+
+    d1, c1 = global_ba_step(place(data, make_mesh(1)), intr, make_mesh(1),
+                            pcg_iters=15)
+    d8, c8 = global_ba_step(place(data, make_mesh(8)), intr, make_mesh(8),
+                            pcg_iters=15)
+    assert abs(float(c1) - float(c8)) < 1e-3 * max(float(c1), 1.0)
+    np.testing.assert_allclose(np.asarray(d1.cam_t), np.asarray(d8.cam_t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d1.mp_pos), np.asarray(d8.mp_pos),
+                               atol=1e-4)
+
+
+def test_gauge_fixed_camera_unchanged():
+    rng = np.random.default_rng(2)
+    data, intr, _ = make_synthetic_global_problem(rng, n_cams=8)
+    mesh = make_mesh(8)
+    placed = place(data, mesh)
+    out, _ = global_ba_step(placed, intr, mesh, pcg_iters=10)
+    np.testing.assert_array_equal(np.asarray(out.cam_q[0]),
+                                  np.asarray(data.cam_q[0]))
+    np.testing.assert_array_equal(np.asarray(out.cam_t[0]),
+                                  np.asarray(data.cam_t[0]))
+
+
+def test_dryrun_multichip_contract():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

@@ -1,0 +1,124 @@
+"""IO layer tests: TUM reader on a generated fixture, ZMQ camera
+round-trip against the test-double publisher, viewer schema."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from kbslam.io.synthetic import render_sequence
+
+
+@pytest.fixture(scope="module")
+def tum_fixture(tmp_path_factory):
+    """Write a tiny TUM-format dataset from the synthetic renderer."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    root = tmp_path_factory.mktemp("tum_seq")
+    seq = render_sequence(num_frames=6, height=120, width=160)
+    os.makedirs(root / "rgb")
+    os.makedirs(root / "depth")
+    rgb_lines, d_lines, gt_lines = [], [], []
+    for i in range(6):
+        t = 1000.0 + i * 0.033
+        rp = f"rgb/{t:.6f}.png"
+        dp = f"depth/{t:.6f}.png"
+        Image.fromarray(seq.rgb[i]).save(root / rp)
+        # TUM depth scale is 5000/m; synthetic is mm -> rescale
+        d = (seq.depth[i].astype(np.float64) * 5.0).astype(np.uint16)
+        Image.fromarray(d).save(root / dp)
+        rgb_lines.append(f"{t:.6f} {rp}")
+        d_lines.append(f"{t + 0.001:.6f} {dp}")
+        T = seq.poses[i]
+        q = Rotation.from_matrix(T[:3, :3]).as_quat()
+        gt_lines.append(
+            f"{t:.6f} {T[0,3]} {T[1,3]} {T[2,3]} {q[0]} {q[1]} {q[2]} {q[3]}")
+    (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines))
+    (root / "depth.txt").write_text("# depth\n" + "\n".join(d_lines))
+    (root / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_lines))
+    return root, seq
+
+
+def test_tum_reader(tum_fixture):
+    from kbslam.io.tum import TUMDataset
+
+    root, seq = tum_fixture
+    ds = TUMDataset(str(root))
+    assert len(ds) == 6
+    frames = list(ds)
+    rgb, depth, mask, gt = frames[0]
+    assert rgb.shape == (120, 160, 3) and rgb.dtype == np.uint8
+    assert depth.dtype == np.uint16
+    # depth scale round trip: u16 * (1/5000) == synthetic metres
+    got_m = depth.astype(np.float64) * ds.depth_scale
+    want_m = seq.depth[0].astype(np.float64) * 1e-3
+    np.testing.assert_allclose(got_m, want_m, atol=2e-4)
+    # ground truth associated
+    np.testing.assert_allclose(gt, seq.poses[0], atol=1e-6)
+
+
+def test_zmq_round_trip():
+    zmq = pytest.importorskip("zmq")
+    from kbslam.io.zmq_camera import FramePublisher, ZMQCamera
+
+    endpoint_pub = "tcp://*:5711"
+    endpoint_sub = "tcp://localhost:5711"
+    pub = FramePublisher(endpoint_pub)
+    cam = ZMQCamera(endpoint_sub, timeout_s=10.0)
+    time.sleep(0.3)  # PUB/SUB join
+
+    K = np.array([[100.0, 0, 50], [0, 100, 40], [0, 0, 1]])
+    rgb = np.random.default_rng(0).integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    depth = np.random.default_rng(1).integers(0, 5000, (120, 160), dtype=np.uint16)
+
+    # intrinsics handshake (retry until the SUB is joined)
+    got_K = None
+    for _ in range(50):
+        pub.publish_intrinsics(K, dist=[0.1, 0, 0, 0, 0])
+        try:
+            got_K, dist = cam.get_intrinsics()
+            break
+        except TimeoutError:
+            continue
+    np.testing.assert_allclose(got_K, K)
+    np.testing.assert_allclose(dist[0], 0.1)
+
+    pub.publish_frame(rgb, depth)
+    frames = cam.grab_frames(timeout=5.0)
+    assert frames is not None
+    r, d, m = frames
+    np.testing.assert_array_equal(r, rgb)
+    np.testing.assert_array_equal(d, depth)
+    assert m.shape == (120, 160)
+
+    # end-of-stream marker -> None (reference empty-message contract)
+    pub.publish_end()
+    time.sleep(0.2)
+    assert cam.grab_frames(timeout=2.0) is None
+    cam.close()
+    pub.close()
+
+
+def test_viewer_noop_schema():
+    from kbslam.viz.rerun_viewer import Viewer
+
+    v = Viewer(spawn=False)
+    traj = np.array([[1.0, 2.0, 3.0]])
+    v.update(traj, traj, traj)
+    # display remap (x, -z, -y) — Map.cpp:86,96
+    np.testing.assert_allclose(v.last["trajectory"], [[1.0, -3.0, -2.0]])
+
+
+def test_cli_synthetic_smoke(capsys):
+    from kbslam.cli import main
+
+    main(["--source", "synthetic", "--frames", "6", "--width", "160",
+          "--height", "120", "--ba", "off", "--eval"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    s = json.loads(out)
+    assert s["frames"] == 6
+    assert "ate_rmse_m" in s
