@@ -88,11 +88,27 @@ class TUMDataset:
         return T
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, None, Optional[np.ndarray]]]:
+        """Streams frames through the native prefetching decoder when
+        available (kbslam/io/native_loader.py), else PIL."""
+        if not self.pairs:
+            return
         from PIL import Image
 
-        for (t_rgb, rgb_path), (_t_d, d_path) in self.pairs:
-            rgb = np.asarray(Image.open(os.path.join(self.root, rgb_path)))[..., :3]
-            depth = np.asarray(
-                Image.open(os.path.join(self.root, d_path))
-            ).astype(np.uint16)
-            yield rgb, depth, None, self.gt_pose_at(t_rgb)
+        first = np.asarray(
+            Image.open(os.path.join(self.root, self.pairs[0][0][1])))
+        h, w = first.shape[:2]
+
+        from kbslam.io.native_loader import NativeFrameLoader
+
+        rgb_paths = [os.path.join(self.root, p[0][1]) for p in self.pairs]
+        d_paths = [os.path.join(self.root, p[1][1]) for p in self.pairs]
+        loader = NativeFrameLoader(rgb_paths, d_paths, h, w)
+        try:
+            for (t_rgb, _), _ in self.pairs:
+                out = loader.next()
+                if out is None:
+                    return
+                rgb, depth = out
+                yield rgb, depth, None, self.gt_pose_at(t_rgb)
+        finally:
+            loader.close()
