@@ -183,7 +183,7 @@ def solve_window(
         cost = cost + r_d * r_d
         return H_cc, b_c, H_pp, b_p, U, cost
 
-    def lm_step(carry):
+    def lm_step(_, carry):
         cam_q, cam_t, mp_pos, lam, cost, it, done = carry
         H_cc, b_c, H_pp, b_p, U, _ = normal_equations(cam_q, cam_t, mp_pos)
 
@@ -227,21 +227,31 @@ def solve_window(
 
         new_cost = _total_cost(cam_q_t, cam_t_t, mp_t, prob, intr, cfg)
         finite = jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(delta_c))
-        accept = finite & (new_cost < cost)
+        accept = finite & (new_cost < cost) & jnp.logical_not(done)
 
         cam_q = jnp.where(accept, cam_q_t, cam_q)
         cam_t = jnp.where(accept, cam_t_t, cam_t)
         mp_pos = jnp.where(accept, mp_t, mp_pos)
         cost_out = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(
-            jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up),
-            cfg.lm_min_lambda,
-            cfg.lm_max_lambda,
+        lam = jnp.where(
+            done,
+            lam,
+            jnp.clip(
+                jnp.where(accept, lam * cfg.lm_lambda_down,
+                          lam * cfg.lm_lambda_up),
+                cfg.lm_min_lambda,
+                cfg.lm_max_lambda,
+            ),
         )
-        # converged: accepted step with tiny relative improvement
+        # converged: accepted step with tiny relative improvement, or the
+        # damping saturated. Remaining iterations become masked no-ops —
+        # the loop is a FIXED-trip fori_loop on purpose: dynamic
+        # while_loop exits cost a per-iteration host round-trip on
+        # tunneled TPU runtimes, dwarfing the wasted ~40us of compute.
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
-        done = accept & (rel < 1e-6)
-        return cam_q, cam_t, mp_pos, lam, cost_out, it + 1, done
+        done = done | (accept & (rel < 1e-6)) | (lam >= cfg.lm_max_lambda)
+        it = jnp.where(done, it, it + 1)
+        return cam_q, cam_t, mp_pos, lam, cost_out, it, done
 
     cost0 = _total_cost(prob.cam_q, prob.cam_t, mp_pos0, prob, intr, cfg)
     init = (
@@ -249,12 +259,8 @@ def solve_window(
         jnp.float32(cfg.lm_init_lambda), cost0, jnp.int32(0),
         jnp.bool_(False),
     )
-
-    def cond(carry):
-        *_, it, done = carry
-        return (it < cfg.max_iterations) & jnp.logical_not(done)
-
-    cam_q, cam_t, mp_pos, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, init)
+    cam_q, cam_t, mp_pos, _, cost, it, _ = jax.lax.fori_loop(
+        0, cfg.max_iterations, lm_step, init)
     return BASolution(cam_q, cam_t, mp_pos, cost0, cost, it)
 
 

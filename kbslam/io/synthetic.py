@@ -95,16 +95,18 @@ def render_sequence(
     if poses is None:
         poses = default_trajectory(num_frames)
 
-    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    us, vs = np.meshgrid(np.arange(width, dtype=np.float32),
+                         np.arange(height, dtype=np.float32))
     dirs = np.stack(
-        [(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1], np.ones_like(us, float)],
+        [(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1],
+         np.ones_like(us, np.float32)],
         axis=-1,
-    )  # [H, W, 3] camera-frame rays with z = 1
+    ).astype(np.float32)  # [H, W, 3] camera-frame rays with z = 1
 
     rgbs, depths, masks = [], [], []
     for ti in range(num_frames):
         T = poses[ti]
-        R, t = T[:3, :3], T[:3, 3]
+        R, t = T[:3, :3].astype(np.float32), T[:3, 3].astype(np.float32)
         d_world = dirs @ R.T                     # [H, W, 3]
         # plane z = 0: t_z + s * d_z = 0
         dz = d_world[..., 2]

@@ -82,6 +82,11 @@ def track_step(
 
     # --- L3 frontend: ORB under mask (VisualOdometry.cpp:138) -------------
     feats = orb.extract(rgb, mask, cfg.orb)
+    # stage boundary: materialize the frontend outputs. Without this,
+    # XLA fuses the gather-heavy descriptor producer into the Hamming
+    # matmul's tiling and recomputes it per tile (measured 70+ ms/frame
+    # instead of ~2 ms on TPU v5e).
+    feats = jax.lax.optimization_barrier(feats)
     depth_kp = depth_at(depth, feats.xy, cfg.map.depth_scale)
 
     # --- match vs last keyframe (VisualOdometry.cpp:144) ------------------
@@ -164,10 +169,28 @@ def track_step(
     return new_state, out
 
 
-def make_track_step(cfg: SLAMConfig, intr: Intrinsics, use_mask: bool = True):
-    """jit-compiled track_step closure with static config."""
+def make_track_step(cfg: SLAMConfig, intr: Intrinsics, use_mask: bool = True,
+                    auto_key: bool = False, seed: int = 0):
+    """jit-compiled track_step closure with static config.
 
-    if use_mask:
+    auto_key=True derives the per-frame RANSAC key inside the program
+    (fold_in(PRNGKey(seed), frame_count)): same determinism, and the
+    host loop passes no key at all — avoids per-frame key slicing,
+    which costs a dispatch round-trip on tunneled TPU runtimes.
+    """
+
+    if auto_key:
+        if use_mask:
+            def step(state, rgb, depth, mask):
+                key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                         state.frame_count)
+                return track_step(state, rgb, depth, mask, key, intr, cfg)
+        else:
+            def step(state, rgb, depth):
+                key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                         state.frame_count)
+                return track_step(state, rgb, depth, None, key, intr, cfg)
+    elif use_mask:
         def step(state, rgb, depth, mask, key):
             return track_step(state, rgb, depth, mask, key, intr, cfg)
     else:

@@ -42,10 +42,10 @@ class SLAM:
         self.intr = Intrinsics.from_matrix(K)
         self.ba_mode = ba_mode
         self.use_mask = use_mask
-        self._step = make_track_step(config, self.intr, use_mask=use_mask)
+        self._step = make_track_step(config, self.intr, use_mask=use_mask,
+                                     auto_key=True, seed=seed)
         self._ba = make_local_ba(config.ba, self.intr)
         self.state = init_state(config)
-        self._key = jax.random.PRNGKey(seed)
         self._frame = 0
         self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
         self.frame_poses: List[np.ndarray] = []  # per input frame (held on failure)
@@ -54,7 +54,6 @@ class SLAM:
 
     def process(self, rgb, depth, mask=None) -> dict:
         """Track one frame; runs local BA when a keyframe was inserted."""
-        key = jax.random.fold_in(self._key, self._frame)
         args = [self.state, jnp.asarray(rgb), jnp.asarray(depth)]
         if self.use_mask:
             args.append(
@@ -62,7 +61,6 @@ class SLAM:
                 if mask is not None
                 else jnp.ones(rgb.shape[:2], jnp.uint8)
             )
-        args.append(key)
         t0 = time.perf_counter()
         self.state, out = self._step(*args)
         o = jax.device_get(out)
