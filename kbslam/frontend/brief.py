@@ -32,69 +32,120 @@ def brief_pattern() -> np.ndarray:
 
 _PATCH_R = 20          # covers the rotated pattern: 13*sqrt(2) + rounding
 _PATCH_S = 2 * _PATCH_R
+N_ANGLE_BINS = 30      # cv::ORB quantizes orientation to 30 steps of 12 deg
 
 
-def describe(
-    blurred: jnp.ndarray,
+@functools.lru_cache(maxsize=1)
+def _rotated_selection_matrices() -> np.ndarray:
+    """[30, 256, S^2] int8 — per angle bin, the (onehot(p2) - onehot(p1))
+    rows that evaluate every descriptor bit as a dot with the flattened
+    40x40 patch. Precomputed host-side; embedded as a program constant.
+    Matches cv::ORB's precomputed per-bin rotated patterns."""
+    pat = brief_pattern().astype(np.float64)
+    p1 = pat[:, :2]
+    p2 = pat[:, 2:]
+    S = _PATCH_S
+    out = np.zeros((N_ANGLE_BINS, 256, S * S), np.int8)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s], [s, c]])
+        for (pts, sign) in ((p1, -1), (p2, +1)):
+            q = np.rint(pts @ R.T).astype(np.int64)
+            idx = (q[:, 1] + _PATCH_R) * S + (q[:, 0] + _PATCH_R)
+            out[b, np.arange(256), idx] += sign
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _ic_moment_vectors(radius: int = 15) -> np.ndarray:
+    """[S^2, 2] float32 — x- and y-weighted circular-disc weights over the
+    flattened 40x40 patch, for intensity-centroid orientation."""
+    S = _PATCH_S
+    ys, xs = np.mgrid[0:S, 0:S]
+    dx = xs - _PATCH_R
+    dy = ys - _PATCH_R
+    disc = (dx * dx + dy * dy) <= radius * radius
+    return np.stack(
+        [(dx * disc).reshape(-1), (dy * disc).reshape(-1)], axis=-1
+    ).astype(np.float32)
+
+
+def extract_patches(
+    stacked: jnp.ndarray,        # [L, H0, W0] padded pyramid levels
+    level_dims: jnp.ndarray,     # [L, 2] (h_l, w_l)
+    xy: jnp.ndarray,             # [N, 2] LEVEL-coordinate keypoints
+    level: jnp.ndarray,          # [N] int32
+) -> jnp.ndarray:
+    """One 40x40 patch per keypoint, [N, S^2], via a single vmapped
+    dynamic_slice across all pyramid levels (contiguous, DMA-friendly —
+    vs ~45 ns/element for a flat gather on TPU)."""
+    n = xy.shape[0]
+    base = jnp.round(xy).astype(jnp.int32)
+    hw = level_dims[level]
+    x0 = jnp.clip(base[:, 0] - _PATCH_R, 0, hw[:, 1] - _PATCH_S)
+    y0 = jnp.clip(base[:, 1] - _PATCH_R, 0, hw[:, 0] - _PATCH_S)
+    # materialize the stacked pyramid: otherwise XLA fuses the pyramid/blur
+    # producers into the 3000 vmapped slices and recomputes them per patch
+    stacked = jax.lax.optimization_barrier(stacked)
+    return jax.vmap(
+        lambda lv, xx, yy: jax.lax.dynamic_slice(
+            stacked, (lv, yy, xx), (1, _PATCH_S, _PATCH_S))[0]
+    )(level, x0, y0).reshape(n, _PATCH_S * _PATCH_S)
+
+
+def ic_angles(patches: jnp.ndarray, radius: int = 15) -> jnp.ndarray:
+    """Intensity-centroid orientation from patches: theta = atan2(m01, m10).
+
+    Replaces the dense per-level 31x31 moment convolutions — a
+    single-input-channel conv is catastrophically slow on the MXU
+    (measured ~60 ms/frame); this is one [N, S^2] x [S^2, 2] matvec.
+    The centroid of a symmetrically-blurred patch equals the centroid of
+    the raw patch to first order, so sharing the blurred patches with
+    BRIEF is sound.
+    """
+    mv = jnp.asarray(_ic_moment_vectors(radius))
+    m = patches @ mv                                  # [N, 2] = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def bits_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """rBRIEF bits from per-keypoint patches.
+
+    Orientation is quantized to 30 bins (cv::ORB's 12-degree steps);
+    the 30 rotated patterns are CONSTANT +-1 selection matrices, so all
+    bins evaluate as ONE dense [N, S^2] x [S^2, 30*256] matmul on the
+    MXU, and each keypoint picks its bin with a one-hot contraction —
+    no gathers, no per-keypoint one-hot materialization.
+    """
+    n = patches.shape[0]
+    W = jnp.asarray(_rotated_selection_matrices()).reshape(
+        N_ANGLE_BINS * 256, _PATCH_S * _PATCH_S)      # [30*256, S^2] int8
+    diff_all = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, N_ANGLE_BINS, 256)                   # I2 - I1 per bin
+
+    two_pi = 2.0 * jnp.pi
+    frac = jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS
+    bins = jnp.mod(jnp.round(frac).astype(jnp.int32), N_ANGLE_BINS)  # [N]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, N_ANGLE_BINS), 1)
+              == bins[:, None]).astype(jnp.float32)
+    diff = jnp.einsum("nbk,nb->nk", diff_all, onehot)
+    return (diff > 0).astype(jnp.uint8)
+
+
+def describe_stacked(
+    stacked_blur: jnp.ndarray,
+    level_dims: jnp.ndarray,
     xy: jnp.ndarray,
+    level: jnp.ndarray,
     angle: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Descriptors for keypoints on one pyramid level.
-
-    blurred: [H, W] Gaussian-blurred level image.
-    xy: [N, 2] float (x, y) level coords; angle: [N] radians.
-    Returns [N, 256] uint8 bits.
-
-    TPU design note: a flat 512-samples-per-keypoint gather costs
-    ~45 ns/element on TPU (~70 ms/frame at 3000 features). Instead we
-    (1) extract one 40x40 patch per keypoint with vmapped dynamic_slice
-    (contiguous, DMA-friendly) and (2) evaluate every bit as a one-hot
-    difference row dotted with the flattened patch on the MXU:
-    bit = ((onehot(p2) - onehot(p1)) . patch) > 0. The one-hot rows fuse
-    into the matmul operand, so the [N, 256, 1600] tensor is never
-    materialized. ~10x faster than the gather form.
-    """
-    h, w = blurred.shape
-    n = xy.shape[0]
-    pat = jnp.asarray(brief_pattern())  # [256, 4]
-    p1 = pat[:, :2].astype(jnp.float32)  # (x, y)
-    p2 = pat[:, 2:].astype(jnp.float32)
-
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
-
-    def rot(p):  # p: [256, 2] -> [N, 256, 2]
-        x = p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
-        y = p[None, :, 0] * sa[:, None] + p[None, :, 1] * ca[:, None]
-        return jnp.stack([x, y], axis=-1)
-
-    base = jnp.round(xy).astype(jnp.int32)            # [N, 2]
-    q1 = jnp.round(base[:, None, :] + rot(p1)).astype(jnp.int32)
-    q2 = jnp.round(base[:, None, :] + rot(p2)).astype(jnp.int32)
-
-    x0 = jnp.clip(base[:, 0] - _PATCH_R, 0, w - _PATCH_S)
-    y0 = jnp.clip(base[:, 1] - _PATCH_R, 0, h - _PATCH_S)
-    patches = jax.vmap(
-        lambda xx, yy: jax.lax.dynamic_slice(blurred, (yy, xx),
-                                             (_PATCH_S, _PATCH_S))
-    )(x0, y0).reshape(n, _PATCH_S * _PATCH_S)
-
-    def flat_idx(q):  # [N, 256, 2] -> [N, 256] index into the patch
-        rx = jnp.clip(q[..., 0] - x0[:, None], 0, _PATCH_S - 1)
-        ry = jnp.clip(q[..., 1] - y0[:, None], 0, _PATCH_S - 1)
-        return ry * _PATCH_S + rx
-
-    i1 = flat_idx(q1)
-    i2 = flat_idx(q2)
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (n, 256, _PATCH_S * _PATCH_S), 2)
-    wsel = (cols == i2[..., None]).astype(jnp.bfloat16) - (
-        cols == i1[..., None]).astype(jnp.bfloat16)
-    diff = jax.lax.dot_general(
-        wsel, patches.astype(jnp.bfloat16),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                  # [N, 256] = I2 - I1
-    return (diff > 0).astype(jnp.uint8)
+    """Convenience: patches + bits in one call (see bits_from_patches)."""
+    patches = extract_patches(stacked_blur, level_dims, xy, level)
+    return bits_from_patches(patches, angle)
 
 
 def pack_bits(desc: jnp.ndarray) -> jnp.ndarray:

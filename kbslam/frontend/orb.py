@@ -22,7 +22,6 @@ from kbslam.frontend import brief
 from kbslam.frontend.fast import border_mask, fast_score_map, nms3x3
 from kbslam.frontend.harris import harris_response
 from kbslam.frontend.image import build_pyramid, gaussian_blur, pyramid_sizes, rgb_to_gray
-from kbslam.frontend.orientation import angles_at, moment_maps
 
 _NEG = -1e30
 
@@ -70,7 +69,9 @@ def detect_and_compute(
     quotas = level_quotas(cfg)
     pyr = build_pyramid(gray, cfg.num_levels, cfg.scale_factor)
 
-    out = []
+    h0, w0 = sizes[0]
+    xy_parts, val_parts, ang_parts, lvl_parts, resp_parts = [], [], [], [], []
+    stacked_blur = jnp.zeros((cfg.num_levels, h0, w0), jnp.float32)
     for lv in range(cfg.num_levels):
         img = pyr[lv]
         hl, wl = sizes[lv]
@@ -94,25 +95,37 @@ def detect_and_compute(
         y = (idx // wl).astype(jnp.float32)
         xy_l = jnp.stack([x, y], axis=-1)
 
-        m10, m01 = moment_maps(img, radius=cfg.patch_size // 2)
-        ang = angles_at(m10, m01, xy_l)
+        stacked_blur = stacked_blur.at[lv, :hl, :wl].set(
+            gaussian_blur(img, cfg.blur_kernel, cfg.blur_sigma))
+        xy_parts.append(xy_l)
+        val_parts.append(valid)
+        resp_parts.append(vals)
+        lvl_parts.append(jnp.full((k,), lv, jnp.int32))
 
-        blurred = gaussian_blur(img, cfg.blur_kernel, cfg.blur_sigma)
-        desc = brief.describe(blurred, xy_l, ang)
+    xy_lvl = jnp.concatenate(xy_parts, axis=0)       # level coords
+    levels = jnp.concatenate(lvl_parts, axis=0)
+    valid = jnp.concatenate(val_parts, axis=0)
+    resp = jnp.concatenate(resp_parts, axis=0)
 
-        scale = cfg.scale_factor ** lv
-        out.append(
-            Features(
-                xy=xy_l * scale,
-                response=vals,
-                angle=ang,
-                level=jnp.full((k,), lv, jnp.int32),
-                valid=valid,
-                desc=desc,
-            )
-        )
+    # single batched patch pass across all levels: IC orientation and
+    # rBRIEF bits both come from the same 40x40 patches (no dense
+    # moment convolutions — see brief.ic_angles)
+    level_dims = jnp.asarray(sizes, jnp.int32)       # [L, 2] (h, w)
+    patches = brief.extract_patches(stacked_blur, level_dims, xy_lvl, levels)
+    angle = brief.ic_angles(patches, radius=cfg.patch_size // 2)
+    desc = brief.bits_from_patches(patches, angle)
 
-    return Features(*[jnp.concatenate(parts, axis=0) for parts in zip(*out)])
+    scales = jnp.asarray(
+        [cfg.scale_factor ** lv for lv in range(cfg.num_levels)],
+        jnp.float32)[levels]
+    return Features(
+        xy=xy_lvl * scales[:, None],
+        response=resp,
+        angle=angle,
+        level=levels,
+        valid=valid,
+        desc=desc,
+    )
 
 
 def extract(rgb: jnp.ndarray, mask: Optional[jnp.ndarray], cfg: OrbConfig) -> Features:
