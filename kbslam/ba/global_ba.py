@@ -226,9 +226,10 @@ def global_ba_step(
     Returns (updated data, pre-step robust cost)."""
     step = _build_step(intr, mesh, axis, pcg_iters, damping,
                        data.mp_pos.shape[0])
-    cam_q, cam_t, mp_pos, cost = step(
-        data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
-        data.w_z, data.cam_free, data.mp_pos, data.anchor_mp)
+    with jax.default_matmul_precision("highest"):
+        cam_q, cam_t, mp_pos, cost = step(
+            data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
+            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp)
     return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), cost
 
 

@@ -37,8 +37,19 @@ class BAStats(NamedTuple):
 def local_ba(
     state: MapState, intr: Intrinsics, cfg: BAConfig
 ) -> Tuple[MapState, BAStats]:
+    # bf16-default TPU matmul precision corrupts the normal equations
+    with jax.default_matmul_precision("highest"):
+        return _local_ba_impl(state, intr, cfg)
+
+
+def _local_ba_impl(state, intr, cfg):
+    from kbslam.ba.compact import compact_problem
+    from kbslam.ba.compact_lm import solve_window_compact
+
     prob = build_problem(state, intr, cfg)
-    sol = solve_window(prob, state.mp_pos, intr, cfg)
+    cp = compact_problem(prob, state.mp_pos, cfg.compact_obs,
+                         cfg.compact_landmarks)
+    sol = solve_window_compact(prob, cp, intr, cfg)
 
     ran = state.num_kf >= 2  # nothing to optimize below two keyframes
 
@@ -46,7 +57,8 @@ def local_ba(
     row_idx = jnp.where(prob.real & ran, prob.slots, state.capacity_kf)
     kf_q = state.kf_q.at[row_idx].set(sol.cam_q, mode="drop")
     kf_t = state.kf_t.at[row_idx].set(sol.cam_t, mode="drop")
-    mp_pos = jnp.where(ran, sol.mp_pos, state.mp_pos)
+    mp_idx = jnp.where(cp.l_valid & ran, cp.uniq_global, state.capacity_mp)
+    mp_pos = state.mp_pos.at[mp_idx].set(sol.Xc, mode="drop")
 
     # --- pruning (Optimizers.cpp:225-247) ---------------------------------
     total = prob.total_obs

@@ -85,6 +85,10 @@ class BAConfig:
     prune_min_obs: int = 2
     prune_min_inlier_kfs: int = 2
     prune_min_inlier_ratio: float = 0.4
+    # Compact solver capacities (ba/compact.py): static counts of active
+    # observations / unique landmarks in a window. Multiples of 128.
+    compact_obs: int = 4096
+    compact_landmarks: int = 4096
     # LM damping schedule (Ceres defaults: init 1e-4, up x2 on reject, down /3).
     lm_init_lambda: float = 1e-4
     lm_lambda_up: float = 2.0

@@ -77,6 +77,14 @@ def track_step(
     intr: Intrinsics,
     cfg: SLAMConfig,
 ) -> tuple[TrackState, TrackOutput]:
+    # TPU f32 matmuls default to bf16 passes; the geometry path (DLT
+    # normal matrices, GN solves) needs real f32. Explicit-bf16 matmuls
+    # (descriptors, Hamming) are unaffected by this setting.
+    with jax.default_matmul_precision("highest"):
+        return _track_step_impl(state, rgb, depth, mask, key, intr, cfg)
+
+
+def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     m = state.map
     empty = m.is_empty()
 
