@@ -56,6 +56,8 @@ class PnPConfig:
     confidence: float = 0.99          # kept for parity bookkeeping
     min_points: int = 4               # PnP attempted iff >=4 pairs (VisualOdometry.cpp:146)
     refine_iters: int = 10            # Gauss-Newton refinement on inliers
+    polish_iters: int = 3             # per-hypothesis GN on minimal sets
+    dlt_fraction: float = 0.25        # hypothesis share for DLT (rest Kabsch)
     min_inliers: int = 6              # below this the solve is a failure
 
 

@@ -63,7 +63,7 @@ def ransac_pnp(
 
     key_a, key_b = jax.random.split(key)
     if points3d_obs is not None:
-        K_dlt = K // 2
+        K_dlt = max(int(K * cfg.dlt_fraction), 1)
         both = valid & obs_valid
         # fall back to `valid` sampling when depth is entirely missing
         any_both = jnp.any(both)
@@ -94,7 +94,8 @@ def ransac_pnp(
     T_init = SE3(matrix_to_quat(R), t).normalize()
     ones_s = jnp.ones(cfg.sample_size, dtype=points3d.dtype)
     T_h = jax.vmap(
-        lambda q, tt, p, u: refine_pose(SE3(q, tt), p, u, ones_s, intr, iters=5)
+        lambda q, tt, p, u: refine_pose(SE3(q, tt), p, u, ones_s, intr,
+                                        iters=cfg.polish_iters)
     )(T_init.q, T_init.t, pts_s, uv_s)
 
     # score every hypothesis against every correspondence: [K, N]
