@@ -33,11 +33,11 @@ class SLAM:
         self,
         config: SLAMConfig,
         K: np.ndarray,
-        ba_mode: str = "on_keyframe",  # "on_keyframe" | "disabled"
+        ba_mode: str = "on_keyframe",  # "on_keyframe" | "async" | "disabled"
         use_mask: bool = True,
         seed: int = 0,
     ):
-        assert ba_mode in ("on_keyframe", "disabled")
+        assert ba_mode in ("on_keyframe", "async", "disabled")
         self.config = config
         self.intr = Intrinsics.from_matrix(K)
         self.ba_mode = ba_mode
@@ -45,6 +45,21 @@ class SLAM:
         self._step = make_track_step(config, self.intr, use_mask=use_mask,
                                      auto_key=True, seed=seed)
         self._ba = make_local_ba(config.ba, self.intr)
+        if ba_mode == "async":
+            from kbslam.ba.local_ba import local_ba
+            from kbslam.ba.merge import make_merge
+
+            # async BA must NOT donate: the snapshot shares buffers with
+            # the live state tracking keeps using
+            self._ba_nodonate = jax.jit(
+                lambda s: local_ba(s, self.intr, config.ba))
+            self._merge = make_merge(config.ba)
+            # tracking donates its state buffers every frame, so the
+            # snapshot must be a real copy
+            self._copy_map = jax.jit(
+                lambda m: jax.tree.map(lambda x: x + 0 if x.dtype != bool
+                                       else x & True, m))
+        self._ba_inflight = None  # (snapshot_map, result_map, stats)
         self.state = init_state(config)
         self._frame = 0
         self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
@@ -81,6 +96,8 @@ class SLAM:
                 )
             )
             ran_ba = True
+        elif self.ba_mode == "async":
+            ran_ba = self._async_ba_tick(bool(o.added_kf))
 
         T = np.eye(4)
         T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(o.pose_q)))
@@ -103,6 +120,47 @@ class SLAM:
         self.diagnostics.append(diag)
         self._frame += 1
         return diag
+
+    def _async_ba_tick(self, added_kf: bool) -> bool:
+        """The reference's BA-thread gating (main.cpp:22-47), functional:
+        at most one solve in flight; tracking never blocks on it; results
+        merge into the live map once ready."""
+        merged = False
+        if self._ba_inflight is not None:
+            snapshot, result, stats = self._ba_inflight
+            if all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
+                self.state = self.state._replace(
+                    map=self._merge(self.state.map, snapshot, result))
+                s = jax.device_get(stats)
+                self.ba_stats.append(
+                    dict(initial_cost=float(s.initial_cost),
+                         final_cost=float(s.final_cost),
+                         iterations=int(s.iterations),
+                         num_pruned=int(s.num_pruned),
+                         wall_ms=None))
+                self._ba_inflight = None
+                merged = True
+        if added_kf and self._ba_inflight is None:
+            snapshot = self._copy_map(self.state.map)
+            result, stats = self._ba_nodonate(snapshot)  # async dispatch
+            self._ba_inflight = (snapshot, result, stats)
+        return merged
+
+    def finish(self):
+        """Drain any in-flight async BA (end-of-sequence)."""
+        if self._ba_inflight is not None:
+            snapshot, result, stats = self._ba_inflight
+            jax.block_until_ready(stats)
+            self.state = self.state._replace(
+                map=self._merge(self.state.map, snapshot, result))
+            s = jax.device_get(stats)
+            self.ba_stats.append(
+                dict(initial_cost=float(s.initial_cost),
+                     final_cost=float(s.final_cost),
+                     iterations=int(s.iterations),
+                     num_pruned=int(s.num_pruned),
+                     wall_ms=None))
+            self._ba_inflight = None
 
     # --- map accessors (Map::GetKeyFramesPositions / GetMapPointsPositions,
     # Map.cpp:80-101 — display remap (x,-z,-y) applied by the viewer) ------
