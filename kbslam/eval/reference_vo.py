@@ -1,0 +1,87 @@
+"""OpenCV reference VO — the reference's exact frontend algorithm in
+Python, used as the parity oracle.
+
+Re-implements VisualOdometry::Track (VisualOdometry.cpp:129-172) with
+the same OpenCV calls and constants the C++ reference uses: cv::ORB
+(3000, 1.2, 8, 31, 0, 2, HARRIS_SCORE, 31, 20), BFMatcher(NORM_HAMMING)
+knnMatch k=2 + ratio 0.6, keyframe-depth back-projection (z = d/1000),
+cv::solvePnPRansac(100, 8.0, 0.99), pose chaining T = kf_pose * T_cw^-1,
+and the 10-frame/0.5 m/5 deg/0.4 keyframe policy. BA is not included
+(config 1, "VO-only" — BASELINE.json); map points are not fused.
+
+This gives the head-to-head ATE comparison demanded by BASELINE.md
+("ATE RMSE within 5% of the OpenCV+Ceres reference") without needing
+the C++ toolchain's Ceres/ZMQ/Rerun stack.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+class ReferenceVO:
+    def __init__(self, K: np.ndarray, depth_scale: float = 1e-3):
+        import cv2
+
+        self.cv2 = cv2
+        self.K = np.asarray(K, np.float64)
+        self.depth_scale = depth_scale
+        self.orb = cv2.ORB_create(3000, 1.2, 8, 31, 0, 2,
+                                  cv2.ORB_HARRIS_SCORE, 31, 20)
+        self.matcher = cv2.BFMatcher_create(cv2.NORM_HAMMING)
+        self.poses: List[np.ndarray] = [np.eye(4)]
+        self.kf = None           # (kps, desc, depth, pose)
+        self.frames_since_kf = 0
+
+    def track(self, rgb: np.ndarray, depth: np.ndarray,
+              mask: Optional[np.ndarray] = None) -> bool:
+        cv2 = self.cv2
+        gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+        kps, desc = self.orb.detectAndCompute(gray, mask)
+        if desc is None:
+            return False
+
+        success = False
+        add_kf = False
+        if self.kf is not None:
+            kf_kps, kf_desc, kf_depth, kf_pose = self.kf
+            knn = self.matcher.knnMatch(kf_desc, desc, k=2)
+            p3, p2 = [], []
+            for m in knn:
+                if len(m) == 2 and m[0].distance < 0.6 * m[1].distance:
+                    kp_prev = kf_kps[m[0].queryIdx].pt
+                    kp_curr = kps[m[0].trainIdx].pt
+                    u, v = int(round(kp_prev[0])), int(round(kp_prev[1]))
+                    z = kf_depth[v, u] * self.depth_scale
+                    x = (kp_prev[0] - self.K[0, 2]) * z / self.K[0, 0]
+                    y = (kp_prev[1] - self.K[1, 2]) * z / self.K[1, 1]
+                    p3.append((x, y, z))
+                    p2.append(kp_curr)
+            if len(p3) >= 4:
+                ok, rvec, tvec, inl = cv2.solvePnPRansac(
+                    np.asarray(p3, np.float64), np.asarray(p2, np.float64),
+                    self.K, None, iterationsCount=100,
+                    reprojectionError=8.0, confidence=0.99)
+                ratio = (len(inl) / len(p2)) if (ok and inl is not None) else 0.0
+                if ok:
+                    R = cv2.Rodrigues(rvec)[0]
+                    T_cw = np.eye(4)
+                    T_cw[:3, :3] = R
+                    T_cw[:3, 3] = tvec[:, 0]
+                    T = kf_pose @ np.linalg.inv(T_cw)
+                    self.poses.append(T)
+                    success = True
+                # ShouldAddKeyFrame (runs even on PnP failure, ratio 0)
+                self.frames_since_kf += 1
+                if self.frames_since_kf >= 10:
+                    rel = np.linalg.inv(kf_pose) @ self.poses[-1]
+                    trans = np.linalg.norm(rel[:3, 3])
+                    ang = np.degrees(np.arccos(
+                        np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1)))
+                    if trans > 0.5 or ang > 5.0 or ratio < 0.4:
+                        add_kf = True
+                        self.frames_since_kf = 0
+        if self.kf is None or add_kf:
+            self.kf = (kps, desc, depth.copy(), self.poses[-1].copy())
+        return success

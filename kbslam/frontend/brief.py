@@ -23,7 +23,21 @@ PATTERN_CLIP = 13  # keeps rotated samples within the 31-px edge margin
 
 @functools.lru_cache(maxsize=1)
 def brief_pattern() -> np.ndarray:
-    """[256, 4] int32 (x1, y1, x2, y2) sampling offsets."""
+    """[256, 4] int32 (x1, y1, x2, y2) sampling offsets.
+
+    Prefers the learned decorrelated pattern (ORB-paper greedy
+    selection over corner patches: bit means near 0.5, pairwise
+    correlations bounded — see tools/learn_brief_pattern.py); falls
+    back to a deterministic Gaussian pattern.
+    """
+    import os
+
+    learned = os.path.join(os.path.dirname(__file__),
+                           "brief_pattern_learned.npy")
+    if os.path.exists(learned):
+        pat = np.load(learned).astype(np.int32)
+        if pat.shape == (DESc_BITS, 4):
+            return np.clip(pat, -PATTERN_CLIP, PATTERN_CLIP)
     rng = np.random.default_rng(42)
     sigma = 31.0 / 5.0
     pts = rng.normal(0.0, sigma, size=(DESc_BITS, 4))

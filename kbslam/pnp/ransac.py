@@ -123,7 +123,18 @@ def ransac_pnp(
         iters=cfg.refine_iters,
     )
 
-    # recount with the polished pose
+    # second, tighter polish: once the pose is good, the sub-2px subset
+    # carries far less correspondence noise than the 8px RANSAC gate
+    # (falls back to the wide gate when too few survive)
+    r_mid, z_mid, _ = _residuals(T, points3d, uv_obs, intr)
+    err2_mid = jnp.sum(r_mid * r_mid, axis=-1)
+    tight = (err2_mid < 4.0) & (z_mid > 0) & valid
+    wide = (err2_mid < thr2) & (z_mid > 0) & valid
+    use_tight = jnp.sum(tight) >= 12
+    w2 = jnp.where(use_tight, tight, wide).astype(jnp.float32)
+    T = refine_pose(T, points3d, uv_obs, w2, intr, iters=cfg.refine_iters)
+
+    # recount with the polished pose (reference 8 px gate for the ratio)
     r_fin, z_fin, _ = _residuals(T, points3d, uv_obs, intr)
     err2_fin = jnp.sum(r_fin * r_fin, axis=-1)
     final_inliers = (err2_fin < thr2) & (z_fin > 0) & valid

@@ -1,0 +1,49 @@
+"""Head-to-head ATE parity: our TPU pipeline vs the OpenCV reference VO
+(the reference's exact algorithm, kbslam/eval/reference_vo.py) on the
+same synthetic ground-truth sequence (BASELINE.md acceptance metric)."""
+import numpy as np
+import pytest
+
+from kbslam.config import SLAMConfig, OrbConfig, PnPConfig, MapConfig
+from kbslam.eval.reference_vo import ReferenceVO
+from kbslam.eval.trajectory import ate_rmse
+from kbslam.io.synthetic import render_sequence
+from kbslam.slam import SLAM
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_ate_parity_with_opencv_reference(seed):
+    seq = render_sequence(num_frames=40, height=240, width=320, seed=seed)
+
+    # ours (VO-only = reference config 1)
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        map=MapConfig(max_keyframes=16, max_map_points=8192),
+    )
+    ours = SLAM(cfg, seq.K, ba_mode="disabled", use_mask=False)
+    for i in range(len(seq.rgb)):
+        ours.process(seq.rgb[i], seq.depth[i])
+    est_ours = np.stack(ours.frame_poses)
+
+    # OpenCV reference (same constants; full 3000-feature budget)
+    ref = ReferenceVO(seq.K)
+    ref_ok = 0
+    for i in range(len(seq.rgb)):
+        ref_ok += bool(ref.track(seq.rgb[i], seq.depth[i]))
+    est_ref = np.stack(ref.poses)
+
+    gt = seq.poses[:, :3, 3]
+    ate_ours = ate_rmse(est_ours[:, :3, 3], gt)
+    # reference trajectory only appends on success; align lengths loosely
+    n = min(len(est_ref), len(gt))
+    ate_ref = ate_rmse(est_ref[:n, :3, 3], gt[:n])
+
+    print(f"ATE ours={ate_ours*1000:.1f} mm  opencv-ref={ate_ref*1000:.1f} mm")
+    # Current status (round 1): ours ~1.35x the cv2 oracle on synthetic
+    # VO-only — the residual gap is slightly noisier/fewer matches at
+    # keyframe baselines (measured: 0.67 px p50 vs 0.58 px, 101 vs 131
+    # matches at 10-frame baseline). Ratchet this bound down as the
+    # frontend improves.
+    assert ate_ours <= max(ate_ref * 1.5, 0.03), (ate_ours, ate_ref)
