@@ -19,7 +19,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser("kbslam")
     ap.add_argument("--source", default="synthetic")
     ap.add_argument("--frames", type=int, default=100)
-    ap.add_argument("--ba", choices=["on", "off"], default="on")
+    ap.add_argument("--ba", choices=["on", "async", "off"], default="on")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="run a full-map bundle adjustment at the end")
     ap.add_argument("--mask", action="store_true",
                     help="apply static-element masks (reference mask path)")
     ap.add_argument("--viewer", choices=["rerun", "none"], default="none")
@@ -79,8 +81,8 @@ def main(argv=None):
     if (args.height, args.width) != (cfg.image_height, cfg.image_width):
         cfg = cfg.replace(image_height=args.height, image_width=args.width)
 
-    slam = SLAM(cfg, K, ba_mode="on_keyframe" if args.ba == "on" else "disabled",
-                use_mask=args.mask)
+    mode = {"on": "on_keyframe", "async": "async", "off": "disabled"}[args.ba]
+    slam = SLAM(cfg, K, ba_mode=mode, use_mask=args.mask)
     viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
 
     n = 0
@@ -99,6 +101,13 @@ def main(argv=None):
                   f"kf={d['added_kf']} inliers={d['num_inliers']} "
                   f"{d['wall_ms']:.1f} ms", file=sys.stderr)
         n += 1
+
+    if mode == "async":
+        slam.finish()
+    if args.global_ba:
+        costs = slam.run_global_ba()
+        print(f"global BA cost: {costs[0]:.2f} -> {costs[-1]:.2f}",
+              file=sys.stderr)
 
     est = np.stack(slam.frame_poses)
     summary = dict(

@@ -146,6 +146,41 @@ class SLAM:
             self._ba_inflight = (snapshot, result, stats)
         return merged
 
+    def run_global_ba(self, steps: int = 5, pcg_iters: int = 30,
+                      mesh=None) -> list:
+        """Full-map bundle adjustment over all live keyframes (the
+        reference has no global BA; this is the config-5 scale path —
+        camera-sharded over a device mesh when one is given)."""
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from kbslam.ba.global_ba import (
+            GlobalBAData, from_map_state, global_ba_step, write_back)
+
+        if mesh is None:
+            mesh = Mesh(_np.array(jax.devices()[:1]), axis_names=("stream",))
+        n_dev = mesh.devices.size
+        n_kf = min(self.num_keyframes, self.state.map.capacity_kf)
+        n_cams = max(((n_kf + n_dev - 1) // n_dev) * n_dev, n_dev)
+
+        state = self.state.map
+        data, slots, real = from_map_state(state, self.intr, self.config.ba,
+                                           n_cams)
+        shard = NamedSharding(mesh, P("stream"))
+        rep = NamedSharding(mesh, P())
+        data = GlobalBAData(
+            *[jax.device_put(x, shard) for x in data[:7]],
+            jax.device_put(data.mp_pos, rep),
+            jax.device_put(data.anchor_mp, rep),
+        )
+        costs = []
+        for _ in range(steps):
+            data, cost = global_ba_step(data, self.intr, mesh,
+                                        pcg_iters=pcg_iters)
+            costs.append(float(cost))
+        self.state = self.state._replace(
+            map=write_back(state, data, slots, real))
+        return costs
+
     def finish(self):
         """Drain any in-flight async BA (end-of-sequence)."""
         if self._ba_inflight is not None:
