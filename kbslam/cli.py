@@ -31,6 +31,12 @@ def main(argv=None):
                     help="print ATE/RPE vs ground truth when available")
     ap.add_argument("--save-trajectory", default=None,
                     help="write TUM-format trajectory to this path")
+    ap.add_argument("--save-checkpoint", default=None,
+                    help="write the final SLAM state (npz) to this path")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint written by --save-checkpoint")
+    ap.add_argument("--cull", action="store_true",
+                    help="enable keyframe culling (disabled in the reference)")
     args = ap.parse_args(argv)
 
     from kbslam.config import DEFAULT_CONFIG
@@ -81,8 +87,16 @@ def main(argv=None):
     if (args.height, args.width) != (cfg.image_height, cfg.image_width):
         cfg = cfg.replace(image_height=args.height, image_width=args.width)
 
+    if args.cull:
+        import dataclasses
+
+        cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
     mode = {"on": "on_keyframe", "async": "async", "off": "disabled"}[args.ba]
     slam = SLAM(cfg, K, ba_mode=mode, use_mask=args.mask)
+    if args.resume:
+        from kbslam.io.checkpoint import load_checkpoint
+
+        slam.state, _ = load_checkpoint(args.resume, cfg)
     viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
 
     n = 0
@@ -126,6 +140,11 @@ def main(argv=None):
         t_err, r_err = rpe(est, gt_arr)
         summary["rpe_trans_m"] = t_err
         summary["rpe_rot_rad"] = r_err
+    if args.save_checkpoint:
+        from kbslam.io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_checkpoint, slam.state,
+                        trajectory=slam.frame_poses)
     if args.save_trajectory:
         with open(args.save_trajectory, "w") as f:
             for i, T in enumerate(est):

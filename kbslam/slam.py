@@ -60,6 +60,12 @@ class SLAM:
                 lambda m: jax.tree.map(lambda x: x + 0 if x.dtype != bool
                                        else x & True, m))
         self._ba_inflight = None  # (snapshot_map, result_map, stats)
+        if config.cull.enabled:
+            from kbslam.mapping.cull import cull_keyframes
+
+            self._cull = jax.jit(lambda m: cull_keyframes(m, config.cull))
+        else:
+            self._cull = None
         self.state = init_state(config)
         self._frame = 0
         self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
@@ -79,6 +85,11 @@ class SLAM:
         t0 = time.perf_counter()
         self.state, out = self._step(*args)
         o = jax.device_get(out)
+
+        # keyframe culling: implemented-but-disabled in the reference
+        # (Map.cpp:63); flag-gated here with the same keep rules
+        if self._cull is not None and bool(o.added_kf):
+            self.state = self.state._replace(map=self._cull(self.state.map))
 
         ran_ba = False
         if self.ba_mode == "on_keyframe" and bool(o.added_kf):
