@@ -38,6 +38,7 @@ class MatcherConfig:
 
     ratio: float = 0.6                # Lowe ratio test (VisualOdometry.cpp:46)
     descriptor_bits: int = 256        # rBRIEF 256-bit descriptors
+    cross_check: bool = False         # mutual-best filter (NOT in reference)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,15 +52,20 @@ def knn2_ratio_match(
     train_desc: jnp.ndarray,
     train_valid: jnp.ndarray,
     ratio: float,
+    cross_check: bool = False,
 ) -> MatchResult:
     """k=2 nearest neighbors + Lowe ratio test (ratio 0.6 in the reference).
 
     Matches the reference's direction: query = last keyframe
     descriptors, train = current frame descriptors
-    (VisualOdometry.cpp:39).
+    (VisualOdometry.cpp:39). ``cross_check=True`` additionally requires
+    mutual-best agreement (NOT in the reference — the reference's
+    BFMatcher is created without crossCheck; this is an opt-in quality
+    improvement, config: MatcherConfig.cross_check).
     """
     dist = hamming_distance_matrix(query_desc, train_desc)
     dist = jnp.where(train_valid[None, :], dist, _BIG)
+    dist = jnp.where(query_valid[:, None], dist, _BIG)
 
     # top-2 smallest along axis 1 via double argmin: two VPU reduction
     # passes. (lax.top_k here lets XLA fuse the distance matmul into the
@@ -75,4 +80,8 @@ def knn2_ratio_match(
         & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
         & (best < _BIG)
     )
+    if cross_check:
+        rev_best = jnp.argmin(dist, axis=0).astype(jnp.int32)  # per train col
+        rows = jnp.arange(dist.shape[0], dtype=jnp.int32)
+        is_match = is_match & (rev_best[best_idx] == rows)
     return MatchResult(best_idx, best, second, is_match)

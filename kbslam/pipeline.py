@@ -105,6 +105,7 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         feats.desc,
         feats.valid,
         cfg.matcher.ratio,
+        cross_check=cfg.matcher.cross_check,
     )
 
     # back-project keyframe keypoints with keyframe depth
