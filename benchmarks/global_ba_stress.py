@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Global-BA stress benchmark — BASELINE.json config 5:
+200 keyframes / 50k landmarks, camera-sharded PCG on TPU.
+
+Generates a structured synthetic problem (each camera observes a
+sliding window of the landmark field — realistic co-visibility), runs
+damped Gauss-Newton steps of kbslam.ba.global_ba, and prints one JSON
+line with cost trajectory and per-step wall time (hard-barriered).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kbslam_jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from scipy.spatial.transform import Rotation
+
+from kbslam.ba.global_ba import GlobalBAData, global_ba_step
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import SE3
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_problem(n_cams=200, n_pts=50_000, obs_per_cam=512, noise=0.01,
+                  seed=0):
+    rng = np.random.default_rng(seed)
+    fx = fy = 500.0
+    cx = cy = 320.0
+    intr = Intrinsics.create(fx, fy, cx, cy)
+
+    # landmark field along a corridor; cameras sweep past it
+    pts = np.stack([
+        np.linspace(0, 100, n_pts) + rng.normal(0, 0.1, n_pts),
+        rng.uniform(-3, 3, n_pts),
+        rng.uniform(4, 8, n_pts),
+    ], axis=1).astype(np.float32)
+
+    cam_q, cam_t, obs_uv, mp_id, active = [], [], [], [], []
+    for i in range(n_cams):
+        t = np.array([100.0 * i / n_cams, 0.0, 0.0], np.float32)
+        R = Rotation.from_rotvec([0, 0.002 * i, 0]).as_matrix().astype(np.float32)
+        # visible landmarks: window around the camera's x position
+        center = int(n_pts * i / n_cams)
+        cand = rng.choice(np.arange(max(0, center - 2000),
+                                    min(n_pts, center + 2000)),
+                          size=obs_per_cam, replace=False)
+        pc = (pts[cand] - t) @ R
+        uv = np.stack([fx * pc[:, 0] / pc[:, 2] + cx,
+                       fy * pc[:, 1] / pc[:, 2] + cy], -1)
+        ok = (pc[:, 2] > 0.5)
+        # noisy initial poses except the gauge camera
+        Rn, tn = R, t
+        if i > 0:
+            dR = Rotation.from_rotvec(rng.normal(scale=noise, size=3)).as_matrix()
+            Rn = (R @ dR).astype(np.float32)
+            tn = t + rng.normal(scale=noise, size=3).astype(np.float32)
+        T = SE3.from_rotation_translation(jnp.asarray(Rn), jnp.asarray(tn))
+        cam_q.append(np.asarray(T.q))
+        cam_t.append(np.asarray(T.t))
+        obs_uv.append(uv.astype(np.float32))
+        mp_id.append(cand.astype(np.int32))
+        active.append(ok)
+
+    P_cap = n_pts
+    mp_pos = pts + rng.normal(scale=noise, size=pts.shape).astype(np.float32)
+    mp_pos[0] = pts[0]  # scale anchor at truth
+    cam_free = np.ones(n_cams, bool)
+    cam_free[0] = False
+    data = GlobalBAData(
+        cam_q=jnp.asarray(np.stack(cam_q)),
+        cam_t=jnp.asarray(np.stack(cam_t)),
+        obs_uv=jnp.asarray(np.stack(obs_uv)),
+        mp_id=jnp.asarray(np.stack(mp_id)),
+        active=jnp.asarray(np.stack(active)),
+        w_z=jnp.ones((n_cams, obs_per_cam), jnp.float32),
+        cam_free=jnp.asarray(cam_free),
+        mp_pos=jnp.asarray(mp_pos),
+        anchor_mp=jnp.int32(0),
+    )
+    return data, intr, pts
+
+
+def main():
+    n_cams = int(os.environ.get("STRESS_CAMS", "200"))
+    n_pts = int(os.environ.get("STRESS_PTS", "50000"))
+    steps = int(os.environ.get("STRESS_STEPS", "4"))
+    data, intr, gt = build_problem(n_cams=n_cams, n_pts=n_pts)
+    n_dev = int(os.environ.get("STRESS_DEVICES", "1"))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("stream",))
+    shard = NamedSharding(mesh, P("stream"))
+    rep = NamedSharding(mesh, P())
+    data = GlobalBAData(
+        *[jax.device_put(x, shard) for x in data[:7]],
+        jax.device_put(data.mp_pos, rep),
+        jax.device_put(data.anchor_mp, rep),
+    )
+
+    costs = []
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        data, cost = global_ba_step(data, intr, mesh, pcg_iters=25,
+                                    damping=1e-5)
+        c = float(np.asarray(cost))  # hard barrier
+        times.append(time.perf_counter() - t0)
+        costs.append(c)
+        print(f"step {i}: cost {c:.1f}  {times[-1]:.2f}s", file=sys.stderr)
+
+    err = np.linalg.norm(np.asarray(data.mp_pos) - gt, axis=1)
+    print(json.dumps({
+        "metric": "global_ba_stress_step_seconds",
+        "value": round(min(times[1:]) if len(times) > 1 else times[0], 3),
+        "unit": "s/GN-step",
+        "vs_baseline": None,
+        "extra": {
+            "cams": n_cams, "landmarks": n_pts,
+            "devices": n_dev,
+            "cost_trajectory": [round(c, 1) for c in costs],
+            "landmark_median_err_m": round(float(np.median(err)), 5),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
