@@ -99,7 +99,7 @@ def main():
     # reflects what the chip actually sustains.
     chunk = len(order) * reps_in_chunk
     fps = 0.0
-    for _rep in range(3):
+    for _rep in range(5):
         t0 = time.perf_counter()
         state, (succ, ninl) = scan_chunk(state, rgb_dev, dep_dev)
         # device_get (not just block_until_ready) — the hard barrier:
