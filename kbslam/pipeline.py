@@ -97,21 +97,36 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     feats = jax.lax.optimization_barrier(feats)
     depth_kp = depth_at(depth, feats.xy, cfg.map.depth_scale)
 
-    # --- match vs last keyframe (VisualOdometry.cpp:144) ------------------
+    # --- match vs the last keyframe(s) (VisualOdometry.cpp:144) -----------
     slot = m.last_slot()
+    NK = max(1, int(cfg.track_keyframes))
+    if NK == 1:
+        q_desc = m.kf_desc[slot]
+        q_valid = m.kf_kp_valid[slot] & jnp.logical_not(empty)
+        # keyframe-camera-frame back-projection (VisualOdometry.cpp:52-54);
+        # zero-depth pairs participate exactly like the reference and fall
+        # to RANSAC as outliers.
+        pts3d = unproject(intr, m.kf_kp_xy[slot], m.kf_kp_depth[slot])
+    else:
+        # concatenated bank of the last NK keyframes; 3D points in WORLD
+        # coordinates so one PnP constrains against all of them
+        ids = m.num_kf - 1 - jnp.arange(NK)
+        kslots = jnp.maximum(ids, 0) % m.capacity_kf
+        kreal = ids >= 0
+        q_desc = m.kf_desc[kslots].reshape(-1, m.kf_desc.shape[-1])
+        q_valid = (
+            m.kf_kp_valid[kslots] & kreal[:, None]
+        ).reshape(-1) & jnp.logical_not(empty)
+        p_cam = unproject(
+            intr, m.kf_kp_xy[kslots], m.kf_kp_depth[kslots])  # [NK, F, 3]
+        kf_T = SE3(m.kf_q[kslots][:, None, :], m.kf_t[kslots][:, None, :])
+        pts3d = kf_T.apply(p_cam).reshape(-1, 3)              # world frame
+
     match = knn2_ratio_match(
-        m.kf_desc[slot],
-        m.kf_kp_valid[slot] & jnp.logical_not(empty),
-        feats.desc,
-        feats.valid,
-        cfg.matcher.ratio,
-        cross_check=cfg.matcher.cross_check,
+        q_desc, q_valid, feats.desc, feats.valid,
+        cfg.matcher.ratio, cross_check=cfg.matcher.cross_check,
     )
 
-    # back-project keyframe keypoints with keyframe depth
-    # (VisualOdometry.cpp:52-54); zero-depth pairs participate exactly like
-    # the reference and fall to RANSAC as outliers.
-    pts3d = unproject(intr, m.kf_kp_xy[slot], m.kf_kp_depth[slot])
     pts2d = feats.xy[match.best_idx]
     # current-frame depth lift: powers the Kabsch half of the RANSAC
     # hypothesis budget (coplanar-robust); scoring stays 2D-reprojection
@@ -129,7 +144,12 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     success = pnp.success & attempted
 
     last_kf_pose = SE3(m.kf_q[slot], m.kf_t[slot])
-    new_pose = last_kf_pose.compose(pnp.T_cw.inverse()).normalize()
+    if NK == 1:
+        # reference chaining: T = kf.pose * T_cw^-1 (VisualOdometry.cpp:85-89)
+        new_pose = last_kf_pose.compose(pnp.T_cw.inverse()).normalize()
+    else:
+        # world-frame solve: the camera pose is directly T_cw^-1
+        new_pose = pnp.T_cw.inverse().normalize()
     pose = SE3(
         jnp.where(success, new_pose.q, state.pose_q),
         jnp.where(success, new_pose.t, state.pose_t),
@@ -147,12 +167,23 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     do_insert = empty | add_kf
 
     # --- insertion + landmark fusion (VisualOdometry.cpp:155-166) ---------
+    # fusion uses matches against the previous-last keyframe only (the
+    # first F rows of the concatenated bank when NK > 1)
+    F = feats.capacity
+    fuse_match = match._replace(
+        best_idx=match.best_idx[:F],
+        best_dist=match.best_dist[:F],
+        second_dist=match.second_dist[:F],
+        is_match=match.is_match[:F],
+    )
+
     def _insert(mp: MapState) -> MapState:
         mp = insert_keyframe(mp, feats, depth_kp, pose)
         return jax.lax.cond(
             empty,
             lambda s: s,
-            lambda s: create_map_points(s, match, intr.fx, intr.fy, intr.cx, intr.cy),
+            lambda s: create_map_points(s, fuse_match, intr.fx, intr.fy,
+                                        intr.cx, intr.cy),
             mp,
         )
 

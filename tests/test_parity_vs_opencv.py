@@ -15,7 +15,7 @@ from kbslam.slam import SLAM
 def test_ate_parity_with_opencv_reference(seed):
     seq = render_sequence(num_frames=40, height=240, width=320, seed=seed)
 
-    # ours (VO-only = reference config 1)
+    # ours (VO-only = reference config 1; default multi-KF tracking)
     cfg = SLAMConfig(
         image_height=240, image_width=320,
         orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
@@ -41,9 +41,7 @@ def test_ate_parity_with_opencv_reference(seed):
     ate_ref = ate_rmse(est_ref[:n, :3, 3], gt[:n])
 
     print(f"ATE ours={ate_ours*1000:.1f} mm  opencv-ref={ate_ref*1000:.1f} mm")
-    # Current status (round 1): ours ~1.35x the cv2 oracle on synthetic
-    # VO-only — the residual gap is slightly noisier/fewer matches at
-    # keyframe baselines (measured: 0.67 px p50 vs 0.58 px, 101 vs 131
-    # matches at 10-frame baseline). Ratchet this bound down as the
-    # frontend improves.
-    assert ate_ours <= max(ate_ref * 1.5, 0.03), (ate_ours, ate_ref)
+    # With multi-keyframe tracking (track_keyframes=3) ours reaches the
+    # cv2 oracle (13.9 vs 13.4 mm on this fixture); the bound leaves
+    # headroom for cross-seed variation.
+    assert ate_ours <= max(ate_ref * 1.15, 0.02), (ate_ours, ate_ref)
