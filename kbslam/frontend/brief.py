@@ -91,17 +91,32 @@ def extract_patches(
     xy: jnp.ndarray,             # [N, 2] LEVEL-coordinate keypoints
     level: jnp.ndarray,          # [N] int32
 ) -> jnp.ndarray:
-    """One 40x40 patch per keypoint, [N, S^2], via a single vmapped
-    dynamic_slice across all pyramid levels (contiguous, DMA-friendly —
-    vs ~45 ns/element for a flat gather on TPU)."""
+    """One 40x40 patch per keypoint, [N, S^2].
+
+    On TPU this runs the Pallas block-fetch kernel
+    (kbslam/ops/pallas_patches.py, ~2.5 ms for 3000 patches); elsewhere
+    it falls back to a vmapped dynamic_slice (~2 us/slice on TPU —
+    slice-COUNT bound, not byte bound)."""
     n = xy.shape[0]
     base = jnp.round(xy).astype(jnp.int32)
     hw = level_dims[level]
     x0 = jnp.clip(base[:, 0] - _PATCH_R, 0, hw[:, 1] - _PATCH_S)
     y0 = jnp.clip(base[:, 1] - _PATCH_R, 0, hw[:, 0] - _PATCH_S)
     # materialize the stacked pyramid: otherwise XLA fuses the pyramid/blur
-    # producers into the 3000 vmapped slices and recomputes them per patch
+    # producers into the 3000 slices and recomputes them per patch
     stacked = jax.lax.optimization_barrier(stacked)
+
+    if jax.default_backend() not in ("cpu",):
+        from kbslam.ops.pallas_patches import extract_patches_pallas
+
+        L, H, W = stacked.shape
+        Hp = -(-H // 48) * 48
+        Wp = -(-W // 128) * 128
+        if (Hp, Wp) != (H, W):
+            stacked = jnp.pad(stacked, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        return extract_patches_pallas(stacked, level, y0, x0).reshape(
+            n, _PATCH_S * _PATCH_S)
+
     return jax.vmap(
         lambda lv, xx, yy: jax.lax.dynamic_slice(
             stacked, (lv, yy, xx), (1, _PATCH_S, _PATCH_S))[0]
