@@ -60,7 +60,8 @@ class PnPConfig:
     # (5 iterations measure ATE-identical to 10 — GN converges in 2-3
     # from the polished RANSAC winner; runs twice: wide then tight gate)
     polish_iters: int = 3             # per-hypothesis GN on minimal sets
-    dlt_fraction: float = 0.25        # hypothesis share for DLT (rest Kabsch)
+    dlt_fraction: float = 0.125       # hypothesis share for DLT (rest Kabsch;
+    # DLT only carries frames with missing current-frame depth)
     min_inliers: int = 6              # below this the solve is a failure
 
 
