@@ -2,6 +2,13 @@
 TPU-native rebuild of the Ceres solve in BundleAdjustment::Optimize
 (Optimizers.cpp:201-213: LM + SPARSE_SCHUR, <=20 iterations).
 
+NOTE: this is the dense REFERENCE solver (full [P]-capacity landmark
+tensors, scatter-add accumulation — ~253 ms/solve on TPU v5e).
+Production local BA uses the compacted, scatter-free formulation in
+ba/compact.py + ba/compact_lm.py (~30 ms/solve, same math); this module
+remains as the independently-testable baseline and supplies the shared
+_inv3x3/_block_diag helpers.
+
 Design:
   - residuals + analytic Jacobians for every (keyframe, observation)
     pair are formed at once ([W, F, ...] tensors on the VPU/MXU);

@@ -111,6 +111,20 @@ def test_viewer_noop_schema():
     np.testing.assert_allclose(v.last["trajectory"], [[1.0, -3.0, -2.0]])
 
 
+def test_cli_tum_source(tum_fixture, capsys):
+    """--source tum:<dir> end-to-end (reader + native loader + eval)."""
+    from kbslam.cli import main
+
+    root, seq = tum_fixture
+    main(["--source", f"tum:{root}", "--frames", "6", "--width", "160",
+          "--height", "120", "--ba", "off", "--eval"])
+    import json
+
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["frames"] == 6
+    assert "ate_rmse_m" in s
+
+
 def test_cli_synthetic_smoke(capsys):
     from kbslam.cli import main
 
