@@ -70,8 +70,9 @@ def _local_ba_impl(state, intr, cfg):
         | (ratio < cfg.prune_min_inlier_ratio)
     ) & ran
 
-    window_rows = state.kf_mp[prob.slots]                     # [W, F]
-    dropped_here = drop[jnp.clip(window_rows, 0)] & (window_rows >= 0)
+    window_rows = state.kf_mp[prob.slots]                     # [W, F] global ids
+    live = state.mp_ref_live(window_rows)
+    dropped_here = drop[state.mp_ref_slot(window_rows)] & live
     new_rows = jnp.where(dropped_here, -1, window_rows)
     kf_mp = state.kf_mp.at[row_idx].set(new_rows, mode="drop")
 

@@ -39,13 +39,23 @@ def merge_ba_result(
 
     kf_q = current.kf_q.at[rows].set(ba_result.kf_q[slots], mode="drop")
     kf_t = current.kf_t.at[rows].set(ba_result.kf_t[slots], mode="drop")
-    # pruning clears slots in the BA result's window rows
-    kf_mp = current.kf_mp.at[rows].set(ba_result.kf_mp[slots], mode="drop")
+    # per-entry kf_mp merge: take the BA result only where the SNAPSHOT
+    # had a reference (pruning may have cleared it); keep the current
+    # entry where the snapshot was empty — tracking may have fused new
+    # landmark ids into the newest window row while the solve was in
+    # flight, and a row-wise overwrite would orphan those observations.
+    snap_rows = snapshot.kf_mp[slots]                       # [Wn, F]
+    merged_rows = jnp.where(snap_rows >= 0, ba_result.kf_mp[slots],
+                            current.kf_mp[slots])
+    kf_mp = current.kf_mp.at[rows].set(merged_rows, mode="drop")
 
-    # landmarks referenced by the snapshot window
-    flat = snapshot.kf_mp[slots].reshape(-1)
+    # landmarks referenced by the snapshot window — validated against the
+    # CURRENT allocation counter, so a slot reallocated mid-solve keeps
+    # its new (tracked) position instead of the stale optimized one
+    flat = snap_rows.reshape(-1)
+    flat_ok = (flat >= 0) & (flat >= current.num_mp - P)
     touched = jnp.zeros((P,), bool).at[
-        jnp.where(flat >= 0, flat, P)].set(True, mode="drop")
+        jnp.where(flat_ok, flat % P, P)].set(True, mode="drop")
     mp_pos = jnp.where(touched[:, None], ba_result.mp_pos, current.mp_pos)
 
     return current._replace(kf_q=kf_q, kf_t=kf_t, kf_mp=kf_mp, mp_pos=mp_pos)

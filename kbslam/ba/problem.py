@@ -51,8 +51,11 @@ def build_problem(state: MapState, intr: Intrinsics, cfg: BAConfig) -> BAProblem
     mp_raw = state.kf_mp[slots]
     kp_valid = state.kf_kp_valid[slots]
 
-    has_mp = (mp_raw >= 0) & kp_valid & real[:, None]
-    mp_id = jnp.where(has_mp, mp_raw, -1)
+    # kf_mp stores monotone ids (slot = id % P); stale references whose
+    # slot was reallocated after a landmark-ring wrap are excluded here,
+    # and mp_id below is SLOT-resolved for all downstream consumers
+    has_mp = state.mp_ref_live(mp_raw) & kp_valid & real[:, None]
+    mp_id = jnp.where(has_mp, mp_raw % P, -1)
 
     # construction-time projection with initial poses (Optimizers.cpp:126-153)
     X = state.mp_pos[jnp.clip(mp_id, 0)]                      # [W, F, 3]

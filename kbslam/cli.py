@@ -71,7 +71,7 @@ def main(argv=None):
                 yield f[0], f[1], f[2], None
 
         frames = _gen()
-    else:
+    elif args.source == "synthetic":
         from kbslam.io.synthetic import render_sequence
 
         seq = render_sequence(num_frames=args.frames, height=args.height,
@@ -83,6 +83,9 @@ def main(argv=None):
             (seq.rgb[i], seq.depth[i], seq.mask[i], seq.poses[i])
             for i in range(len(seq.rgb))
         )
+    else:
+        ap.error(f"unknown --source {args.source!r} "
+                 "(expected synthetic | tum:<dir> | zmq[:<endpoint>])")
 
     if (args.height, args.width) != (cfg.image_height, cfg.image_width):
         cfg = cfg.replace(image_height=args.height, image_width=args.width)

@@ -110,8 +110,10 @@ def extract_patches(
         from kbslam.ops.pallas_patches import extract_patches_pallas
 
         L, H, W = stacked.shape
-        Hp = -(-H // 48) * 48
-        Wp = -(-W // 128) * 128
+        # the kernel assumes >= 2 blocks per dim (its 2x2 block window);
+        # pad up to at least 2 blocks so tiny images stay in bounds
+        Hp = max(-(-H // 48) * 48, 2 * 48)
+        Wp = max(-(-W // 128) * 128, 2 * 128)
         if (Hp, Wp) != (H, W):
             stacked = jnp.pad(stacked, ((0, 0), (0, Hp - H), (0, Wp - W)))
         return extract_patches_pallas(stacked, level, y0, x0).reshape(

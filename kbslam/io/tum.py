@@ -43,15 +43,28 @@ def _read_groundtruth(path: str) -> List[Tuple[float, np.ndarray]]:
 
 
 def _associate(a, b, max_dt=0.02):
-    """Greedy nearest-timestamp association (the standard TUM tool logic)."""
-    pairs = []
-    j = 0
-    for ta, pa in a:
-        while j + 1 < len(b) and abs(b[j + 1][0] - ta) <= abs(b[j][0] - ta):
-            j += 1
-        if abs(b[j][0] - ta) <= max_dt:
-            pairs.append(((ta, pa), b[j]))
-    return pairs
+    """One-to-one timestamp association (the standard TUM associate.py
+    logic): enumerate candidate pairs within max_dt, sort by |dt|, and
+    greedily take pairs whose rgb AND depth entries are both unused —
+    no depth frame is ever paired with two rgb frames. Output is
+    ordered by rgb timestamp."""
+    tb = np.asarray([x[0] for x in b])
+    cands = []
+    for i, (ta, _) in enumerate(a):
+        lo = int(np.searchsorted(tb, ta - max_dt, side="left"))
+        hi = int(np.searchsorted(tb, ta + max_dt, side="right"))
+        for j in range(lo, hi):
+            cands.append((abs(tb[j] - ta), i, j))
+    cands.sort()
+    used_a, used_b = set(), set()
+    picks = []
+    for _, i, j in cands:
+        if i not in used_a and j not in used_b:
+            used_a.add(i)
+            used_b.add(j)
+            picks.append((i, j))
+    picks.sort()
+    return [(a[i], b[j]) for i, j in picks]
 
 
 class TUMDataset:

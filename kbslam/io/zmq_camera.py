@@ -81,8 +81,17 @@ class ZMQCamera:
         sock.setsockopt(zmq.SUBSCRIBE, RGBD_TOPIC)
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
+        try:
+            self._capture_loop(sock, poller)
+        finally:
+            # the socket lives and dies on the capture thread (zmq
+            # sockets are not thread-safe); close() only signals + joins
+            sock.close(0)
+
+    def _capture_loop(self, sock, poller):
         while self._run:
-            if not poller.poll(int(self._timeout_s * 1000)):
+            # short poll slices so close() is honored promptly
+            if not poller.poll(min(int(self._timeout_s * 1000), 250)):
                 continue
             parts = sock.recv_multipart()
             topic = parts[0]
@@ -125,7 +134,13 @@ class ZMQCamera:
         return self._K, self._dist
 
     def close(self):
+        """Join the capture thread and release the socket (the reference
+        Camera's shutdown contract: Camera.cpp destructor joins capture)."""
         self._run = False
+        self._thread.join(timeout=self._timeout_s)
+        with self._lock:
+            self._eof = True
+            self._lock.notify_all()  # unblock grab_frames waiters
 
 
 class FramePublisher:

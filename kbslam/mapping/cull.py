@@ -76,14 +76,18 @@ def cull_keyframes(state: MapState, cfg: CullConfig) -> MapState:
 
     dropped = (state.kf_id >= 0) & jnp.logical_not(keep)
 
-    # landmarks lose observations held by dropped KFs
+    # landmarks lose observations held by dropped KFs (kf_mp holds
+    # monotone ids; stale references are treated as already gone)
     kf_mp = jnp.where(dropped[:, None], -1, state.kf_mp)
+    live = state.mp_ref_live(kf_mp)
     # MapPoint::IsBad cleanup: obs count < 2 -> clear remaining slots
     P = state.capacity_mp
-    safe = jnp.where(kf_mp >= 0, kf_mp, P)
+    slot = state.mp_ref_slot(kf_mp)
+    safe = jnp.where(live, slot, P)
     obs = jnp.zeros((P,), jnp.int32).at[safe.reshape(-1)].add(1, mode="drop")
     bad = obs < 2
-    kf_mp = jnp.where(bad[jnp.clip(kf_mp, 0)] & (kf_mp >= 0), -1, kf_mp)
+    kf_mp = jnp.where((bad[slot] | jnp.logical_not(live)) & (kf_mp >= 0),
+                      -1, kf_mp)
 
     return state._replace(
         kf_id=jnp.where(dropped, -1, state.kf_id),

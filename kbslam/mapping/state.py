@@ -36,7 +36,11 @@ class MapState(NamedTuple):
     kf_kp_depth: jnp.ndarray # [M, F] metric depth at keypoint (0 = missing)
     kf_desc: jnp.ndarray     # [M, F, 256] uint8 descriptor bits
     kf_kp_valid: jnp.ndarray # [M, F] bool
-    kf_mp: jnp.ndarray       # [M, F] int32 landmark id per slot (-1 empty)
+    kf_mp: jnp.ndarray       # [M, F] int32 MONOTONE landmark id (-1 empty);
+    #   storage slot = id % P. A reference is live iff id >= num_mp - P
+    #   (older ids had their slot reused by a later allocation) — this
+    #   replaces shared_ptr lifetime semantics (MapPoint.hpp:8-40)
+    #   without any gather: staleness is a pure comparison.
     kf_id: jnp.ndarray       # [M] int32 global keyframe id (-1 = slot empty)
     num_kf: jnp.ndarray      # [] int32 monotone insertion counter
     # --- landmarks (capacity P = max_map_points) --------------------------
@@ -64,6 +68,15 @@ class MapState(NamedTuple):
     def last_kf_pose(self) -> SE3:
         s = self.last_slot()
         return SE3(self.kf_q[s], self.kf_t[s])
+
+    def mp_ref_live(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """True where a kf_mp entry still points at a live landmark:
+        non-empty AND its ring slot has not been reallocated since."""
+        return (ids >= 0) & (ids >= self.num_mp - self.capacity_mp)
+
+    def mp_ref_slot(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Storage slot of a kf_mp entry (only meaningful where live)."""
+        return jnp.clip(ids, 0) % self.capacity_mp
 
 
 def empty_map(map_cfg: MapConfig, orb_cfg: OrbConfig) -> MapState:
@@ -131,11 +144,15 @@ def create_map_points(
     t_idx = match.best_idx
 
     prev_mp = state.kf_mp[prev_slot]                 # [F]
-    needs_new = matched & (prev_mp == NO_MP)
+    # a stale reference (slot reused after ring wrap) counts as empty,
+    # so the match allocates a fresh landmark instead of re-binding to
+    # whatever now occupies the slot
+    prev_live = state.mp_ref_live(prev_mp)
+    needs_new = matched & jnp.logical_not(prev_live)
 
-    # allocate contiguous landmark ids for the new points (ring over P)
+    # allocate contiguous MONOTONE ids; storage wraps at id % P
     offset = jnp.cumsum(needs_new.astype(jnp.int32)) - 1
-    new_id = (state.num_mp + offset) % state.capacity_mp
+    new_id = state.num_mp + offset
     n_new = jnp.sum(needs_new.astype(jnp.int32))
 
     # world position from prev KF depth unprojection (Map.cpp:29-44)
@@ -149,12 +166,15 @@ def create_map_points(
 
     # masked scatters: non-participating lanes get an out-of-bounds index
     # and are dropped, so they can never clobber a real write.
-    drop_new = jnp.where(needs_new, new_id, state.capacity_mp)
+    drop_new = jnp.where(needs_new, new_id % state.capacity_mp,
+                         state.capacity_mp)
     mp_pos = state.mp_pos.at[drop_new].set(p_world, mode="drop")
     mp_valid = state.mp_valid.at[drop_new].set(True, mode="drop")
 
-    # prev KF slots gain the new ids; current KF slots gain new-or-shared ids
-    prev_mp_new = jnp.where(needs_new, new_id, prev_mp)
+    # prev KF slots gain the new ids; current KF slots gain new-or-shared
+    # ids; unmatched stale entries are scrubbed to empty
+    prev_mp_new = jnp.where(needs_new, new_id,
+                            jnp.where(prev_live, prev_mp, NO_MP))
     share_id = prev_mp_new
     drop_t = jnp.where(matched, t_idx, state.kf_mp.shape[1])
     curr_mp = state.kf_mp[curr_slot]

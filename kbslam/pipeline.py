@@ -156,7 +156,11 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     )
 
     # --- keyframe policy (VisualOdometry.cpp:99-126) ----------------------
-    frames_since = state.frames_since_kf + 1
+    # the reference's framesSinceLastKf static increments inside
+    # ShouldAddKeyFrame, which runs only on frames with >=4 match pairs
+    # (VisualOdometry.cpp:102-103,146-150) — frames with match dropouts
+    # do NOT advance the counter
+    frames_since = state.frames_since_kf + attempted.astype(jnp.int32)
     ratio_for_policy = jnp.where(success, pnp.inlier_ratio, 0.0)
     add_kf = (
         kf_policy.should_add_keyframe(

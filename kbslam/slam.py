@@ -171,7 +171,14 @@ class SLAM:
             mesh = Mesh(_np.array(jax.devices()[:1]), axis_names=("stream",))
         n_dev = mesh.devices.size
         n_kf = min(self.num_keyframes, self.state.map.capacity_kf)
-        n_cams = max(((n_kf + n_dev - 1) // n_dev) * n_dev, n_dev)
+        # never exceed the ring capacity: after a wrap, a window wider
+        # than the ring would alias one slot into two real problem rows
+        # (double-counted observations). Round capacity DOWN to a mesh
+        # multiple and pad short windows with real=False rows instead.
+        cap_down = (self.state.map.capacity_kf // n_dev) * n_dev
+        assert cap_down >= n_dev, "map.max_keyframes < mesh size"
+        n_cams = max(((min(n_kf, cap_down) + n_dev - 1) // n_dev) * n_dev,
+                     n_dev)
 
         state = self.state.map
         data, slots, real = from_map_state(state, self.intr, self.config.ba,
@@ -218,8 +225,10 @@ class SLAM:
     def map_points(self) -> np.ndarray:
         m = self.state.map
         mp = np.asarray(m.kf_mp)
-        ids = np.unique(mp[mp >= 0])
-        return np.asarray(m.mp_pos)[ids] if len(ids) else np.zeros((0, 3))
+        P = m.capacity_mp
+        live = (mp >= 0) & (mp >= int(m.num_mp) - P)
+        slots = np.unique(mp[live]) % P
+        return np.asarray(m.mp_pos)[slots] if len(slots) else np.zeros((0, 3))
 
     @property
     def num_keyframes(self) -> int:

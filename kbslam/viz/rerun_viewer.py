@@ -36,9 +36,33 @@ def _remap(points: np.ndarray) -> np.ndarray:
     return np.stack([points[:, 0], -points[:, 2], -points[:, 1]], axis=-1)
 
 
+def jet_colormap(v: np.ndarray) -> np.ndarray:
+    """uint8 [H, W] -> RGB uint8 [H, W, 3], the classic JET ramp
+    (blue -> cyan -> yellow -> red), matching cv::applyColorMap(JET)'s
+    piecewise-linear form."""
+    x = v.astype(np.float32) / 255.0
+    r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0.0, 1.0)
+    g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0.0, 1.0)
+    b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0.0, 1.0)
+    return (np.stack([r, g, b], axis=-1) * 255.0 + 0.5).astype(np.uint8)
+
+
+def colorize_depth(depth: np.ndarray, alpha: float = 0.02) -> np.ndarray:
+    """The reference's depth display transform (Viewer.cpp:66-68):
+    cv::convertScaleAbs(depth, alpha) then cv::applyColorMap(JET)."""
+    v = np.clip(np.abs(depth.astype(np.float64)) * alpha + 0.5,
+                0, 255).astype(np.uint8)
+    return jet_colormap(v)
+
+
 class Viewer:
-    def __init__(self, app_name: str = "Visual Odometry", spawn: bool = True):
+    def __init__(self, app_name: str = "Visual Odometry", spawn: bool = True,
+                 depth_display_alpha: float = 0.02):
+        """depth_display_alpha: raw-depth -> 8-bit scale for the JET
+        display (the reference hardcodes 0.02 for its millimetric
+        camera; TUM's 1/5000-scale raw depth wants ~0.004)."""
         self.enabled = HAVE_RERUN
+        self.depth_display_alpha = depth_display_alpha
         self.last = {}
         if self.enabled:
             rr.init(app_name, spawn=spawn)
@@ -55,7 +79,10 @@ class Viewer:
         traj = _remap(np.asarray(trajectory, np.float64))
         kfs = _remap(np.asarray(keyframes, np.float64))
         mps = _remap(np.asarray(map_points, np.float64))
-        self.last = dict(trajectory=traj, keyframes=kfs, map=mps)
+        depth_rgb = (colorize_depth(depth, self.depth_display_alpha)
+                     if depth is not None else None)
+        self.last = dict(trajectory=traj, keyframes=kfs, map=mps,
+                         depth_rgb=depth_rgb)
         if not self.enabled:
             return
         rr.log("/world/trajectory/points",
@@ -66,8 +93,9 @@ class Viewer:
                rr.Points3D(mps, colors=[[0, 255, 0]], radii=0.05))
         if rgb is not None:
             rr.log("/camera/0/rgb", rr.Image(rgb))
-        if depth is not None:
-            rr.log("/camera/0/depth",
-                   rr.DepthImage(depth, meter=1000.0))
+        if depth_rgb is not None:
+            # JET-colorized like the reference (Viewer.cpp:66-68), not a
+            # raw DepthImage with a guessed meter scale
+            rr.log("/camera/0/depth", rr.Image(depth_rgb))
         if mask is not None:
             rr.log("/camera/0/mask", rr.Image(mask))

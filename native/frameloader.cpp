@@ -38,7 +38,16 @@ bool decode_png_rgb(const char* path, int h, int w, uint8_t* out) {
   if (!fp) return false;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -72,7 +81,16 @@ bool decode_png_depth16(const char* path, int h, int w, uint16_t* out) {
   if (!fp) return false;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -187,7 +205,9 @@ int fl_next(FrameLoader* fl, uint8_t* rgb_out, uint16_t* depth_out) {
   Frame* f = fl->slot(want);
   {
     std::unique_lock<std::mutex> lk(fl->mu);
-    fl->cv_consume.wait(lk, [&] { return f->index == want; });
+    // stop check: fl_destroy must be able to unblock a waiting consumer
+    fl->cv_consume.wait(lk, [&] { return fl->stop.load() || f->index == want; });
+    if (fl->stop.load() && f->index != want) return -1;
   }
   int rc = f->ok ? want : -2;
   if (f->ok) {
@@ -206,6 +226,7 @@ int fl_next(FrameLoader* fl, uint8_t* rgb_out, uint16_t* depth_out) {
 void fl_destroy(FrameLoader* fl) {
   fl->stop.store(true);
   fl->cv_produce.notify_all();
+  fl->cv_consume.notify_all();  // unblock a consumer stuck in fl_next
   for (auto& t : fl->workers) t.join();
   delete fl;
 }

@@ -136,3 +136,52 @@ def test_cli_synthetic_smoke(capsys):
     s = json.loads(out)
     assert s["frames"] == 6
     assert "ate_rmse_m" in s
+
+
+def test_tum_associate_one_to_one():
+    """Jittery rgb timestamps must not pair two rgb frames with the same
+    depth frame (standard TUM associate.py is one-to-one)."""
+    from kbslam.io.tum import _associate
+
+    rgb = [(1.000, "r0"), (1.010, "r1"), (1.040, "r2")]
+    depth = [(1.008, "d0"), (1.042, "d1")]
+    pairs = _associate(rgb, depth, max_dt=0.02)
+    used_depth = [p[1][1] for p in pairs]
+    assert len(used_depth) == len(set(used_depth)), used_depth
+    # best-|dt| assignment: r1<->d0 (0.002 beats r0's 0.008), r2<->d1
+    assert [(a[1], b[1]) for a, b in pairs] == [("r1", "d0"), ("r2", "d1")]
+
+
+def test_zmq_close_joins_capture_thread():
+    pytest.importorskip("zmq")
+    from kbslam.io.zmq_camera import ZMQCamera
+
+    cam = ZMQCamera("tcp://localhost:5733", timeout_s=5.0)
+    t0 = time.time()
+    cam.close()
+    assert not cam._thread.is_alive()
+    assert time.time() - t0 < 3.0  # poll slice, not the full timeout
+    # a consumer arriving after close is not blocked
+    assert cam.grab_frames(timeout=0.5) is None
+
+
+def test_viewer_depth_jet_colorize():
+    """Reference depth display: convertScaleAbs(alpha) + JET colormap
+    (Viewer.cpp:66-68), not a raw DepthImage with a hardcoded meter."""
+    from kbslam.viz.rerun_viewer import Viewer, colorize_depth, jet_colormap
+
+    # JET endpoints: 0 -> dark blue, mid -> green-ish, 255 -> dark red
+    ramp = jet_colormap(np.array([[0, 128, 255]], np.uint8))[0]
+    assert ramp[0][2] > 100 and ramp[0][0] == 0      # blue end
+    assert ramp[1][1] > 200                          # green middle
+    assert ramp[2][0] > 100 and ramp[2][2] == 0      # red end
+
+    depth = np.full((4, 4), 3000, np.uint16)         # 3 m at mm scale
+    v = Viewer(spawn=False, depth_display_alpha=0.02)
+    v.update(np.zeros((1, 3)), np.zeros((1, 3)), np.zeros((1, 3)),
+             depth=depth)
+    img = v.last["depth_rgb"]
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img, colorize_depth(depth, 0.02))
+    # 3000 * 0.02 = 60 -> blue-cyan region of JET
+    assert img[0, 0, 2] > img[0, 0, 0]

@@ -127,3 +127,67 @@ def test_insert_is_jittable():
 
     m2 = go(m, f)
     assert int(m2.num_kf) == 1
+
+
+def test_landmark_ring_wrap_no_stale_rebinding():
+    """After the landmark ring wraps, a keyframe's old reference to a
+    reused slot must be treated as STALE: excluded from BA problem
+    construction and never shared into a new keyframe (the shared_ptr
+    lifetime semantics of MapPoint.hpp:8-40, VERDICT r1 weak #6)."""
+    from kbslam.ba.problem import build_problem
+    from kbslam.config import BAConfig
+    from kbslam.geom.camera import Intrinsics
+
+    rng = np.random.default_rng(7)
+    mcfg = MapConfig(max_keyframes=4, max_map_points=8)  # tiny landmark ring
+    m = empty_map(mcfg, OCFG)
+    pose = SE3.identity()
+    depth = jnp.full((8,), 2.0)
+
+    # KF0 + KF1; match 4 pairs -> landmarks 0..3 (slots 0..3)
+    m = insert_keyframe(m, fake_feats(rng), depth, pose)
+    m = insert_keyframe(m, fake_feats(rng), depth, pose)
+    match4 = MatchResult(
+        best_idx=jnp.array([0, 1, 2, 3, 0, 0, 0, 0]),
+        best_dist=jnp.zeros(8, jnp.int32),
+        second_dist=jnp.zeros(8, jnp.int32),
+        is_match=jnp.array([True] * 4 + [False] * 4),
+    )
+    m = create_map_points(m, match4, 100.0, 100.0, 50.0, 50.0)
+    assert int(m.num_mp) == 4
+    old_ref = int(np.asarray(m.kf_mp)[0, 0])   # KF0 kp0 -> id 0
+
+    # simulate the ring having wrapped past slot 0..3: allocations 4..11
+    # happened elsewhere, so ids 0..3 are stale (slots reused by 8..11)
+    m = m._replace(num_mp=jnp.int32(12))
+    assert not bool(m.mp_ref_live(jnp.int32(old_ref)))
+
+    # (a) problem construction: the stale observation must be inactive
+    prob = build_problem(m, Intrinsics.create(100.0, 100.0, 50.0, 50.0),
+                         BAConfig(window=3))
+    w_idx = np.nonzero(np.asarray(prob.real))[0]
+    mp_id = np.asarray(prob.mp_id)
+    # no window row may reference slot 0..3 through the stale ids
+    assert (mp_id[w_idx[0]] == -1).all(), mp_id[w_idx[0]]
+
+    # (b) fusion: matching KF1's stale kp must allocate a FRESH landmark,
+    # not share the stale id into the new keyframe
+    m = insert_keyframe(m, fake_feats(rng), depth, pose)
+    match1 = MatchResult(
+        best_idx=jnp.array([5, 0, 0, 0, 0, 0, 0, 0]),
+        best_dist=jnp.zeros(8, jnp.int32),
+        second_dist=jnp.zeros(8, jnp.int32),
+        is_match=jnp.array([True] + [False] * 7),
+    )
+    m2 = create_map_points(m, match1, 100.0, 100.0, 50.0, 50.0)
+    new_ref = int(np.asarray(m2.kf_mp)[2, 5])
+    assert new_ref == 12, new_ref                     # fresh monotone id
+    assert int(m2.num_mp) == 13
+    assert bool(m2.mp_ref_live(jnp.int32(new_ref)))
+    # the new landmark's position comes from KF1's unprojection, stored
+    # at slot 12 % 8 == 4
+    xy = np.asarray(m2.kf_kp_xy[1])[0]
+    want = np.array([(xy[0] - 50) * 2 / 100, (xy[1] - 50) * 2 / 100, 2.0])
+    np.testing.assert_allclose(np.asarray(m2.mp_pos[12 % 8]), want, atol=1e-5)
+    # KF1's stale entry was scrubbed by the fusion pass
+    assert int(np.asarray(m2.kf_mp)[1, 0]) == 12

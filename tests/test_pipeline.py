@@ -91,3 +91,32 @@ def test_mask_path_ignores_dynamic_object():
     assert all(o.success for o in outs[1:])
     ate = ate_rmse(est[:, :3, 3], seq.poses[:, :3, 3])
     assert ate < 0.06
+
+
+def test_frames_since_kf_counts_only_attempted_frames():
+    """Reference parity: framesSinceLastKf increments inside
+    ShouldAddKeyFrame, which only runs on frames with >=4 match pairs
+    (VisualOdometry.cpp:102-103,146-150) — blank/dropout frames must
+    not advance the keyframe cadence."""
+    cfg = small_cfg()
+    seq = render_sequence(num_frames=4, height=240, width=320)
+    intr = Intrinsics.from_matrix(seq.K)
+    step = make_track_step(cfg, intr, use_mask=False)
+    state = init_state(cfg)
+    blank_rgb = np.zeros((240, 320, 3), np.uint8)
+    blank_depth = np.zeros((240, 320), np.uint16)
+
+    def run(state, i, rgb, depth):
+        return step(state, jnp.asarray(rgb), jnp.asarray(depth),
+                    jax.random.PRNGKey(i))
+
+    state, _ = run(state, 0, seq.rgb[0], seq.depth[0])   # first KF
+    state, o1 = run(state, 1, seq.rgb[1], seq.depth[1])  # attempted
+    assert int(o1.num_matches) >= 4
+    base = int(state.frames_since_kf)
+    for i in range(2, 5):                                 # 3 dropout frames
+        state, od = run(state, i, blank_rgb, blank_depth)
+        assert int(od.num_matches) < 4
+    assert int(state.frames_since_kf) == base             # counter held
+    state, _ = run(state, 5, seq.rgb[2], seq.depth[2])    # attempted again
+    assert int(state.frames_since_kf) in (0, base + 1)    # +1 or KF reset
