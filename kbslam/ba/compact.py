@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from kbslam.ba.problem import BAProblem
+from kbslam.ops.incidence import incidence_apply, incidence_gather  # noqa: F401
+# (re-exported: the incidence matmuls moved to ops/incidence.py so the
+# tracking pipeline can share them without importing the BA layer)
 
 
 class CompactProblem(NamedTuple):
@@ -94,48 +97,3 @@ def compact_problem(prob: BAProblem, mp_pos: jnp.ndarray,
         l_valid=l_valid,
         anchor_l=anchor_l,
     )
-
-
-def incidence_apply(ids: jnp.ndarray, n_targets: int, values: jnp.ndarray,
-                    exact: bool = False) -> jnp.ndarray:
-    """sum-by-id via a one-hot incidence matmul: [T, O] @ [O, C] -> [T, C].
-
-    Replaces scatter-add (serial on TPU) with an MXU matmul. ids ==
-    n_targets rows are dropped (one-hot row is all-zero). With
-    exact=True the matmul runs in f32 (exact selection/sum of f32
-    values); otherwise bf16 operands with f32 accumulation (~0.4%
-    value rounding — fine for Jacobian products, not for positions).
-    """
-    O = ids.shape[0]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (n_targets, O), 0)
-              == ids[None, :])
-    if exact:
-        # HIGHEST precision is required: TPU f32 dots default to bf16
-        # multiply passes, which silently rounds the "exact" selection.
-        return jax.lax.dot_general(
-            onehot.astype(jnp.float32), values.astype(jnp.float32),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.dot_general(
-        onehot.astype(jnp.bfloat16), values.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-
-def incidence_gather(ids: jnp.ndarray, table: jnp.ndarray,
-                     exact: bool = True) -> jnp.ndarray:
-    """values-by-id via one-hot matmul: out[i] = table[ids[i]].
-
-    [O, T] @ [T, C] — the transpose of incidence_apply; replaces a
-    row gather (45 ns/element on TPU). ids == T produce zero rows.
-    """
-    T = table.shape[0]
-    O = ids.shape[0]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (O, T), 1) == ids[:, None])
-    if exact:
-        return jax.lax.dot_general(
-            onehot.astype(jnp.float32), table.astype(jnp.float32),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.dot_general(
-        onehot.astype(jnp.bfloat16), table.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)

@@ -63,6 +63,13 @@ class PnPConfig:
     dlt_fraction: float = 0.125       # hypothesis share for DLT (rest Kabsch;
     # DLT only carries frames with missing current-frame depth)
     min_inliers: int = 6              # below this the solve is a failure
+    # RANSAC/refinement operate on the top-M ratio-test matches (ordered
+    # by Hamming distance, PROSAC-style) instead of all padded query
+    # slots: typical frames carry ~1k matches out of 9216 padded slots,
+    # so compaction shrinks every scoring/refinement tensor ~6x. Only
+    # binds when a frame has more matches than this (then the weakest
+    # are dropped). Multiple of 128 for MXU-friendly shapes.
+    max_correspondences: int = 1536
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,19 +127,37 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         cfg.matcher.ratio, cross_check=cfg.matcher.cross_check,
     )
 
-    pts2d = feats.xy[match.best_idx]
-    # current-frame depth lift: powers the Kabsch half of the RANSAC
-    # hypothesis budget (coplanar-robust); scoring stays 2D-reprojection
-    depth_curr = depth_kp[match.best_idx]
-    pts3d_obs = unproject(intr, pts2d, depth_curr)
-
     num_matches = jnp.sum(match.is_match.astype(jnp.int32))
     attempted = (num_matches >= cfg.pnp.min_points) & jnp.logical_not(empty)
 
+    # --- correspondence compaction -----------------------------------------
+    # keep the top-M ratio-test matches ordered by Hamming distance
+    # (PROSAC order): every downstream PnP tensor shrinks from the padded
+    # bank size to M, and matches land PACKED at the front so RANSAC
+    # sampling skips its packing sort. Attribute rows move with one-hot
+    # incidence matmuls, not gathers (45 ns/element serial on TPU).
+    from kbslam.ops.incidence import incidence_gather
+
+    M = min(cfg.pnp.max_correspondences, q_desc.shape[0])
+    score = jnp.where(match.is_match,
+                      match.best_dist.astype(jnp.float32), jnp.inf)
+    _, cidx = jax.lax.top_k(jax.lax.optimization_barrier(-score), M)
+    sel_valid = match.is_match[cidx]
+    pts3d_m = incidence_gather(cidx, pts3d)                     # [M, 3]
+    t_idx = match.best_idx[cidx]                                # [M]
+    train_tab = jnp.concatenate([feats.xy, depth_kp[:, None]], axis=1)
+    train_m = incidence_gather(t_idx, train_tab)                # [M, 3]
+    pts2d = train_m[:, :2]
+    # current-frame depth lift: powers the Kabsch half of the RANSAC
+    # hypothesis budget (coplanar-robust); scoring stays 2D-reprojection
+    depth_curr = jnp.where(sel_valid, train_m[:, 2], 0.0)
+    pts3d_obs = unproject(intr, pts2d, depth_curr)
+
     # --- PnP-RANSAC (VisualOdometry.cpp:64-97) ----------------------------
     pnp = ransac_pnp(
-        key, pts3d, pts2d, match.is_match, intr, cfg.pnp,
+        key, pts3d_m, pts2d, sel_valid, intr, cfg.pnp,
         points3d_obs=pts3d_obs, obs_valid=depth_curr > 0,
+        valid_packed=True,
     )
     success = pnp.success & attempted
 

@@ -3,15 +3,25 @@
 The reference delegates to cv::solvePnPRansac's internal minimal solver
 (VisualOdometry.cpp:72). Here every RANSAC hypothesis is solved in one
 batched launch: build the [K, 12, 12] normal matrices, take the
-smallest eigenvector (eigh — small dense eigendecompositions batch fine
-under XLA), and project the 3x3 block back onto SO(3) with a batched
-SVD. No per-hypothesis host loop exists anywhere.
+smallest eigenvector, and project the 3x3 block back onto SO(3). No
+per-hypothesis host loop exists anywhere.
+
+TPU note: jnp.linalg.eigh on [K, 12, 12] is an iterative custom call
+that measured ~1 ms/frame for K=32; the smallest eigenvector here comes
+from REGULARIZED INVERSE ITERATION instead — one unrolled 12x12
+Cholesky factor of (AtA + eps I) reused across 3 solve iterations, all
+fused VPU ops. Convergence ratio per iteration is (lam_min+eps)/(lam_2
++eps) ~ 1e-4 on Hartley-normalized minimal sets, and the result only
+initializes a Gauss-Newton polish. SO(3) projection uses the Newton
+polar iteration (geom/rotation.py) for the same reason.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from kbslam.geom.camera import Intrinsics
+from kbslam.geom.rotation import det3, polar_rotation
+from kbslam.pnp.refine import chol_apply, chol_factor
 
 
 def normalized_rays(intr: Intrinsics, uv: jnp.ndarray) -> jnp.ndarray:
@@ -61,8 +71,17 @@ def solve_dlt(points3d: jnp.ndarray, rays: jnp.ndarray):
     A = jnp.concatenate([row_u, row_v], axis=-2)  # [..., 2n, 12]
 
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    p = vecs[..., :, 0]  # smallest eigenvector [..., 12]
+    # smallest eigenvector by regularized inverse iteration (see module
+    # docstring): factor (AtA + eps I) once, iterate v <- solve(v)
+    tr = jnp.einsum("...ii->...", AtA)
+    eps = (1e-6 / 12.0) * tr + 1e-12
+    H12 = AtA + eps[..., None, None] * jnp.eye(12, dtype=AtA.dtype)
+    L = chol_factor(H12)
+    v = jnp.ones(AtA.shape[:-2] + (12,), AtA.dtype)
+    for _ in range(3):
+        v = chol_apply(L, v)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
+    p = v
     Pn = p.reshape(p.shape[:-1] + (3, 4))
 
     # --- denormalize: P = N^-1 @ Pn @ T, where x' = N x_h, X' = T X_h
@@ -91,16 +110,13 @@ def solve_dlt(points3d: jnp.ndarray, rays: jnp.ndarray):
     P = N_inv @ Pn @ T4
 
     M = P[..., :, :3]
-    detM = jnp.linalg.det(M)
+    detM = det3(M)
     lam = jnp.sign(detM) * jnp.abs(detM) ** (1.0 / 3.0)
     lam = jnp.where(jnp.abs(lam) < 1e-12, 1e-12, lam)
     R0 = M / lam[..., None, None]
     t = P[..., :, 3] / lam[..., None]
 
-    # Project R0 onto SO(3)
-    U, _, Vt = jnp.linalg.svd(R0)
-    det_uv = jnp.linalg.det(U @ Vt)
-    D = jnp.zeros_like(U).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    D = D.at[..., 2, 2].set(det_uv)
-    R = U @ D @ Vt
+    # Project R0 onto SO(3): det(R0) > 0 by the lam sign choice, so the
+    # polar factor IS the determinant-constrained closest rotation
+    R = polar_rotation(R0)
     return R, t

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from kbslam.config import PnPConfig
 from kbslam.geom.camera import Intrinsics, project
 from kbslam.geom.se3 import SE3, matrix_to_quat
+from kbslam.ops.incidence import incidence_gather
 from kbslam.pnp.dlt import normalized_rays, solve_dlt
 from kbslam.pnp.kabsch import solve_kabsch
 from kbslam.pnp.refine import refine_pose
@@ -32,14 +33,20 @@ class PnPResult(NamedTuple):
     num_inliers: jnp.ndarray   # [] int32
 
 
-def _sample_valid_indices(key, valid: jnp.ndarray, num_sets: int, set_size: int):
-    """Draw [num_sets, set_size] indices uniformly among valid entries."""
-    n = valid.shape[0]
+def _sample_valid_indices(key, valid: jnp.ndarray, num_sets: int,
+                          set_size: int, packed: bool = False):
+    """Draw [num_sets, set_size] indices uniformly among valid entries.
+
+    packed=True asserts the caller already placed all valid entries at
+    the front (the pipeline's PROSAC-ordered compaction does), skipping
+    the packing sort."""
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    u = jax.random.randint(key, (num_sets, set_size), 0, jnp.maximum(n_valid, 1))
+    if packed:
+        return u
     # stable partition: indices of valid entries first
     order = jnp.argsort(jnp.logical_not(jax.lax.optimization_barrier(valid)),
                         stable=True)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    u = jax.random.randint(key, (num_sets, set_size), 0, jnp.maximum(n_valid, 1))
     return order[u]
 
 
@@ -52,6 +59,7 @@ def ransac_pnp(
     cfg: PnPConfig,
     points3d_obs: jnp.ndarray | None = None,  # [N, 3] current-camera 3D
     obs_valid: jnp.ndarray | None = None,     # [N] bool (depth > 0)
+    valid_packed: bool = False,               # valid entries known packed first
 ) -> PnPResult:
     """When current-frame depth is available (points3d_obs), half the
     hypothesis budget runs the 3D-3D Kabsch solver — immune to the
@@ -68,20 +76,32 @@ def ransac_pnp(
         # fall back to `valid` sampling when depth is entirely missing
         any_both = jnp.any(both)
         pool = jnp.where(any_both, both, valid)
+        # the Kabsch pool (valid & has-depth) is not prefix-packed even
+        # when `valid` is, so it keeps the packing sort (over N only)
         idx_k = _sample_valid_indices(key_b, pool, K - K_dlt, cfg.sample_size)
-        idx_d = _sample_valid_indices(key_a, valid, K_dlt, cfg.sample_size)
+        idx_d = _sample_valid_indices(key_a, valid, K_dlt, cfg.sample_size,
+                                      packed=valid_packed)
         idx = jnp.concatenate([idx_d, idx_k], axis=0)
     else:
         K_dlt = K
-        idx = _sample_valid_indices(key_a, valid, K, cfg.sample_size)
+        idx = _sample_valid_indices(key_a, valid, K, cfg.sample_size,
+                                    packed=valid_packed)
 
-    pts_s = points3d[idx]                       # [K, S, 3]
-    uv_s = uv_obs[idx]                          # [K, S, 2]
+    # minimal-set rows move via ONE one-hot incidence matmul ([K*S, N])
+    # instead of K*S row gathers (45 ns/element serial on TPU)
+    S = cfg.sample_size
+    if points3d_obs is not None:
+        tab = jnp.concatenate([points3d, uv_obs, points3d_obs], axis=1)
+    else:
+        tab = jnp.concatenate([points3d, uv_obs], axis=1)
+    rows = incidence_gather(idx.reshape(-1), tab).reshape(K, S, -1)
+    pts_s = rows[..., :3]                       # [K, S, 3]
+    uv_s = rows[..., 3:5]                       # [K, S, 2]
     rays_s = normalized_rays(intr, uv_s[:K_dlt])
 
     R_d, t_d = solve_dlt(pts_s[:K_dlt], rays_s)  # [K_dlt, 3, 3]
     if points3d_obs is not None:
-        R_k, t_k = solve_kabsch(pts_s[K_dlt:], points3d_obs[idx[K_dlt:]])
+        R_k, t_k = solve_kabsch(pts_s[K_dlt:], rows[K_dlt:, :, 5:8])
         R = jnp.concatenate([R_d, R_k], axis=0)
         t = jnp.concatenate([t_d, t_k], axis=0)
     else:

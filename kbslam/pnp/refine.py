@@ -15,29 +15,43 @@ from kbslam.geom.camera import Intrinsics, project
 from kbslam.geom.se3 import SE3, cross_matrix
 
 
-def chol_solve6(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Solve SPD [..., 6, 6] systems with an unrolled Cholesky.
+def chol_factor(H: jnp.ndarray) -> dict:
+    """Fully-unrolled Cholesky factor of SPD [..., n, n] (static n).
 
     ~2x faster than jnp.linalg.solve's LU custom call for small batched
-    systems on TPU (pure VPU ops, no pivoting round trips)."""
-    L = jnp.zeros_like(H)
-    for i in range(6):
-        s = H[..., i, i] - sum(L[..., i, k] ** 2 for k in range(i))
+    systems on TPU. The factor entries live as individual [...]-shaped
+    arrays (a dict of scalars-per-batch), NOT as .at[].set updates on an
+    [..., n, n] tensor — each masked update-slice is its own tiny TPU
+    kernel, and the ~60 of them dominated the per-hypothesis polish
+    (measured ~2x the arithmetic cost)."""
+    n = H.shape[-1]
+    L = {"n": n}
+    for i in range(n):
+        s = H[..., i, i] - sum(L[i, k] * L[i, k] for k in range(i))
         di = jnp.sqrt(jnp.maximum(s, 1e-12))
-        L = L.at[..., i, i].set(di)
-        for j in range(i + 1, 6):
-            s2 = H[..., j, i] - sum(L[..., j, k] * L[..., i, k]
-                                    for k in range(i))
-            L = L.at[..., j, i].set(s2 / di)
-    y = [None] * 6
-    for i in range(6):
-        y[i] = (g[..., i] - sum(L[..., i, k] * y[k] for k in range(i))) \
-            / L[..., i, i]
-    x = [None] * 6
-    for i in reversed(range(6)):
-        x[i] = (y[i] - sum(L[..., k, i] * x[k] for k in range(i + 1, 6))) \
-            / L[..., i, i]
+        L[i, i] = di
+        L["inv", i] = 1.0 / di
+        for j in range(i + 1, n):
+            s2 = H[..., j, i] - sum(L[j, k] * L[i, k] for k in range(i))
+            L[j, i] = s2 * L["inv", i]
+    return L
+
+
+def chol_apply(L: dict, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve L L^T x = g given a chol_factor result; g is [..., n]."""
+    n = L["n"]
+    y = [None] * n
+    for i in range(n):
+        y[i] = (g[..., i] - sum(L[i, k] * y[k] for k in range(i))) * L["inv", i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (y[i] - sum(L[k, i] * x[k] for k in range(i + 1, n))) * L["inv", i]
     return jnp.stack(x, axis=-1)
+
+
+def chol_solve6(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD [..., 6, 6] systems (see chol_factor)."""
+    return chol_apply(chol_factor(H), g)
 
 
 def reprojection_residuals(T_cw: SE3, points3d, uv_obs, intr: Intrinsics):
