@@ -96,8 +96,13 @@ def detect_and_compute(
         # barrier: keep the dense FAST/Harris producers out of top_k's
         # sort comparator (XLA fusion recompute blowup on TPU)
         harris_b = jax.lax.optimization_barrier(harris)
-        vals, idx = jax.lax.top_k(
-            jax.lax.optimization_barrier(cand.reshape(-1)), k)
+        # approx_max_k: TPU-native partial-reduction top-k (measured 4x
+        # faster than exact lax.top_k on the 300k-candidate level-0 map;
+        # recall 0.95 only perturbs the WEAKEST corners of a level, and
+        # exact selection falls out on CPU where it lowers to top_k)
+        vals, idx = jax.lax.approx_max_k(
+            jax.lax.optimization_barrier(cand.reshape(-1)), k,
+            recall_target=0.95)
         valid = vals > _NEG * 0.5
         xi = idx % wl
         yi = idx // wl
@@ -125,6 +130,28 @@ def detect_and_compute(
     levels = jnp.concatenate(lvl_parts, axis=0)
     valid = jnp.concatenate(val_parts, axis=0)
     resp = jnp.concatenate(resp_parts, axis=0)
+
+    # block-locality sort: order keypoints by (level, 48-row block,
+    # 128-col block) so the Pallas patch kernel's consecutive grid steps
+    # hit the SAME HBM blocks and its pipeline skips the re-fetch (the
+    # per-step DMA dominated the kernel). Downstream consumers are
+    # order-agnostic, so the permuted order simply becomes THE feature
+    # order. The permutation moves via one exact one-hot matmul, not
+    # per-row gathers.
+    from kbslam.ops.incidence import incidence_gather
+
+    xi = jnp.clip(jnp.round(xy_lvl[:, 0]).astype(jnp.int32), 0, w0 - 1)
+    yi = jnp.clip(jnp.round(xy_lvl[:, 1]).astype(jnp.int32), 0, h0 - 1)
+    sort_key = (levels * 32 + yi // 48) * 32 + xi // 128
+    order = jnp.argsort(sort_key, stable=True)
+    tab = jnp.concatenate(
+        [xy_lvl, resp[:, None], valid[:, None].astype(jnp.float32),
+         levels[:, None].astype(jnp.float32)], axis=1)
+    tab_p = incidence_gather(order, tab)             # [F, 5], exact f32
+    xy_lvl = tab_p[:, :2]
+    resp = tab_p[:, 2]
+    valid = tab_p[:, 3] > 0.5
+    levels = tab_p[:, 4].astype(jnp.int32)
 
     # single batched patch pass across all levels: IC orientation and
     # rBRIEF bits both come from the same 40x40 patches (no dense

@@ -2,7 +2,7 @@
 
 The XLA form (vmap of dynamic_slice) costs ~2 us PER SLICE regardless
 of slice size (slice-count bound) — ~5.7 ms/frame at 3000 keypoints.
-This kernel cuts that to ~2.5 ms.
+This kernel cuts that to ~1 ms.
 
 Design, shaped by axon/Mosaic AOT toolchain constraints (manual
 `make_async_copy` with dynamic offsets crashes the compile helper;
@@ -10,15 +10,19 @@ dynamic sublane/lane offsets cannot be proven aligned for vector
 loads):
   - dynamically-addressed HBM blocks move via scalar-prefetched BLOCK
     indices in BlockSpec index_maps — the one supported mechanism;
-  - ONE grid step per patch with FOUR input specs (the 2x2 window of
-    (48, 128)-aligned blocks covering the patch) — per-step overhead
-    dominates, so fewer steps beats smaller transfers;
-  - the 40x40 window is cut from the assembled 96x256 block with exact
+  - P patches per grid step, each with FOUR input specs (the 2x2 window
+    of (48, 128)-aligned blocks covering a patch) — per-grid-step
+    overhead dominates small fetches, so fewer/fatter steps win;
+  - callers sort keypoints by (level, block-row, block-col) so
+    consecutive steps reference the SAME blocks and the Pallas pipeline
+    skips the redundant copies (orb.detect_and_compute does this);
+  - the 40x40 window is cut from each assembled 96x256 block with exact
     one-hot selection matmuls at HIGHEST precision (TPU f32 dots
     otherwise round through bf16).
 
 Constraints: stacked image [L, H, W] with H % 48 == 0 and W % 128 == 0
-(callers pad); y0 in [0, H-40], x0 in [0, W-40].
+(callers pad); y0 in [0, H-40], x0 in [0, W-40]; N % patches_per_step
+== 0 (feature capacities are multiples of 128).
 """
 from __future__ import annotations
 
@@ -34,66 +38,76 @@ _BW = 128  # block cols; 2 blocks -> 256 >= 40 + max dx 216
 
 
 def _kernel(lv_ref, byf_ref, bxf_ref, dy_ref, dx_ref,
-            b00, b01, b10, b11, out_ref, *, S: int):
+            *refs, S: int, P: int):
+    blocks, out_ref = refs[:-1], refs[-1]
     i = pl.program_id(0)
-    top = jnp.concatenate([b00[0], b01[0]], axis=1)       # [48, 256]
-    bot = jnp.concatenate([b10[0], b11[0]], axis=1)
-    blk = jnp.concatenate([top, bot], axis=0)             # [96, 256]
-    dy = dy_ref[i]
-    dx = dx_ref[i]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 0)
-    rj = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 1)
-    rowsel = (rj == ri + dy).astype(jnp.float32)
-    rows = jax.lax.dot_general(
-        rowsel, blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # [S, 256]
-    ci = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 1)
-    colsel = (ci == cj + dx).astype(jnp.float32)
-    out_ref[0] = jax.lax.dot_general(
-        rows, colsel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    for p in range(P):
+        b00, b01, b10, b11 = blocks[4 * p: 4 * p + 4]
+        top = jnp.concatenate([b00[0], b01[0]], axis=1)   # [48, 256]
+        bot = jnp.concatenate([b10[0], b11[0]], axis=1)
+        blk = jnp.concatenate([top, bot], axis=0)         # [96, 256]
+        dy = dy_ref[i * P + p]
+        dx = dx_ref[i * P + p]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 1)
+        rowsel = (rj == ri + dy).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            rowsel, blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [S, 256]
+        ci = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 1)
+        colsel = (ci == cj + dx).astype(jnp.float32)
+        out_ref[p] = jax.lax.dot_general(
+            rows, colsel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("patch_size",))
+@functools.partial(jax.jit, static_argnames=("patch_size", "patches_per_step"))
 def extract_patches_pallas(
     stacked: jnp.ndarray,   # [L, H, W] float32; H % 48 == 0, W % 128 == 0
     level: jnp.ndarray,     # [N] int32
     y0: jnp.ndarray,        # [N] int32 pre-clamped to [0, H - S]
     x0: jnp.ndarray,        # [N] int32 pre-clamped to [0, W - S]
     patch_size: int = 40,
+    patches_per_step: int = 4,
 ) -> jnp.ndarray:
     """Returns [N, patch_size, patch_size] float32."""
     n = level.shape[0]
     L, H, W = stacked.shape
     assert H % _BH == 0 and W % _BW == 0, (H, W)
     S = patch_size
+    P = patches_per_step
+    while n % P:
+        P //= 2
+    assert P >= 1
 
     byf = jnp.minimum(y0 // _BH, H // _BH - 2)
     bxf = jnp.minimum(x0 // _BW, W // _BW - 2)
 
-    def spec(dj, dk):
+    def spec(p, dj, dk):
         return pl.BlockSpec(
             (1, _BH, _BW),
-            lambda i, lv, byf, bxf, dy, dx, dj=dj, dk=dk:
-                (lv[i], byf[i] + dj, bxf[i] + dk),
+            lambda i, lv, byf, bxf, dy, dx, p=p, dj=dj, dk=dk:
+                (lv[i * P + p], byf[i * P + p] + dj, bxf[i * P + p] + dk),
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [spec(p, dj, dk)
+                for p in range(P) for dj in (0, 1) for dk in (0, 1)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n,),
-        in_specs=[spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1)],
+        grid=(n // P,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, S, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            (P, S, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, S=S),
+        functools.partial(_kernel, S=S, P=P),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, S, S), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(level, byf, bxf, y0 - byf * _BH, x0 - bxf * _BW,
-      stacked, stacked, stacked, stacked)
+      *([stacked] * (4 * P)))
