@@ -56,10 +56,10 @@ class PnPConfig:
     reproj_threshold: float = 8.0     # pixels (VisualOdometry.cpp:73)
     confidence: float = 0.99          # kept for parity bookkeeping
     min_points: int = 4               # PnP attempted iff >=4 pairs (VisualOdometry.cpp:146)
-    refine_iters: int = 5             # Gauss-Newton refinement on inliers
-    # (5 iterations measure ATE-identical to 10 — GN converges in 2-3
+    refine_iters: int = 3             # Gauss-Newton refinement on inliers
+    # (3 iterations measure ATE-identical to 10 — GN converges in 2-3
     # from the polished RANSAC winner; runs twice: wide then tight gate)
-    polish_iters: int = 3             # per-hypothesis GN on minimal sets
+    polish_iters: int = 2             # per-hypothesis GN on minimal sets
     dlt_fraction: float = 0.125       # hypothesis share for DLT (rest Kabsch;
     # DLT only carries frames with missing current-frame depth)
     min_inliers: int = 6              # below this the solve is a failure

@@ -8,6 +8,8 @@ once; the contiguous-arc test is a reduction over 16 rotated windows.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from kbslam.frontend.image import shift2d
@@ -22,6 +24,21 @@ CIRCLE = (
 ARC_LEN = 9  # FAST-9
 
 
+def _sliding_windows(arrs, L, op):
+    """op-reduction over every length-L window of the list (van Herk:
+    blockwise forward/backward prefix passes, ~2 ops/element instead of
+    L-1 ops/window — the naive form dominated the FAST stage)."""
+    n = len(arrs)
+    F = [None] * n
+    B = [None] * n
+    for i in range(n):
+        F[i] = arrs[i] if i % L == 0 else op(F[i - 1], arrs[i])
+    for i in reversed(range(n)):
+        last = (i % L == L - 1) or (i == n - 1)
+        B[i] = arrs[i] if last else op(arrs[i], B[i + 1])
+    return [op(B[s], F[s + L - 1]) for s in range(n - L + 1)]
+
+
 def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Corner response map [H, W]; 0 where not a FAST-9 corner.
 
@@ -30,20 +47,15 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     this is still a corner" response used for NMS.
     """
     center = img
-    ring = jnp.stack([shift2d(img, dy, dx) for (dy, dx) in CIRCLE])  # [16,H,W]
-    diff = ring - center[None]
+    diff = [shift2d(img, dy, dx) - center for (dy, dx) in CIRCLE]  # 16x[H,W]
 
     # bright: diff > t; dark: diff < -t, evaluated per arc of 9.
-    ext = jnp.concatenate([diff, diff[: ARC_LEN - 1]], axis=0)  # [24,H,W]
-    # windows[s] = min over the 9-long arc starting at s, of diff
-    bright_score = []
-    dark_score = []
-    for s in range(16):
-        w = ext[s : s + ARC_LEN]
-        bright_score.append(jnp.min(w, axis=0))     # arc is bright iff this > t
-        dark_score.append(jnp.max(w, axis=0))       # arc is dark iff this < -t
-    bright = jnp.max(jnp.stack(bright_score), axis=0)   # best bright arc margin
-    dark = -jnp.min(jnp.stack(dark_score), axis=0)      # best dark arc margin
+    ext = diff + diff[: ARC_LEN - 1]                 # circular, 24 entries
+    # windows[s] = min/max over the 9-long arc starting at s
+    bright_score = _sliding_windows(ext, ARC_LEN, jnp.minimum)
+    dark_score = _sliding_windows(ext, ARC_LEN, jnp.maximum)
+    bright = functools.reduce(jnp.maximum, bright_score)  # best bright margin
+    dark = -functools.reduce(jnp.minimum, dark_score)     # best dark margin
     score = jnp.maximum(bright, dark)
     return jnp.where(score > threshold, score, 0.0)
 
