@@ -37,6 +37,9 @@ def main(argv=None):
                     help="resume from a checkpoint written by --save-checkpoint")
     ap.add_argument("--cull", action="store_true",
                     help="enable keyframe culling (disabled in the reference)")
+    ap.add_argument("--dist", default=None,
+                    help="comma-separated k1,k2,p1,p2,k3 lens distortion "
+                    "(reference DistCoeffs; zmq handshake value used if unset)")
     args = ap.parse_args(argv)
 
     from kbslam.config import DEFAULT_CONFIG
@@ -44,6 +47,8 @@ def main(argv=None):
     from kbslam.viz.rerun_viewer import Viewer
 
     gts = []
+    dist = ([float(c) for c in args.dist.split(",")]
+            if args.dist else None)
     if args.source.startswith("tum:"):
         from kbslam.io.tum import TUMDataset
 
@@ -60,7 +65,9 @@ def main(argv=None):
 
         ep = args.source[4:] if ":" in args.source else DEFAULT_ENDPOINT
         cam = ZMQCamera(ep or DEFAULT_ENDPOINT)
-        K, _ = cam.get_intrinsics()
+        K, zmq_dist = cam.get_intrinsics()
+        if dist is None and zmq_dist is not None and np.any(zmq_dist):
+            dist = zmq_dist
         cfg = DEFAULT_CONFIG
 
         def _gen():
@@ -95,7 +102,7 @@ def main(argv=None):
 
         cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
     mode = {"on": "on_keyframe", "async": "async", "off": "disabled"}[args.ba]
-    slam = SLAM(cfg, K, ba_mode=mode, use_mask=args.mask)
+    slam = SLAM(cfg, K, ba_mode=mode, use_mask=args.mask, dist=dist)
     if args.resume:
         from kbslam.io.checkpoint import load_checkpoint
 

@@ -96,6 +96,15 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     # instead of ~2 ms on TPU v5e).
     feats = jax.lax.optimization_barrier(feats)
     depth_kp = depth_at(depth, feats.xy, cfg.map.depth_scale)
+    if intr.has_distortion:
+        # rectify keypoints ONCE (cv::undistortPoints inverse model);
+        # depth/patches already sampled at raw coords above, and every
+        # downstream consumer (PnP, unprojection, map store, BA) then
+        # operates on pinhole coordinates — the same geometry OpenCV
+        # computes internally when the reference passes DistCoeffs to
+        # solvePnPRansac (VisualOdometry.cpp:72, Camera.cpp:108-124).
+        from kbslam.geom.camera import undistort_points
+        feats = feats._replace(xy=undistort_points(intr, feats.xy))
 
     # --- match vs the last keyframe(s) (VisualOdometry.cpp:144) -----------
     slot = m.last_slot()

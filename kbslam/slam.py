@@ -36,10 +36,11 @@ class SLAM:
         ba_mode: str = "on_keyframe",  # "on_keyframe" | "async" | "disabled"
         use_mask: bool = True,
         seed: int = 0,
+        dist=None,  # 5-vector (k1,k2,p1,p2,k3), reference Camera.cpp:108-124
     ):
         assert ba_mode in ("on_keyframe", "async", "disabled")
         self.config = config
-        self.intr = Intrinsics.from_matrix(K)
+        self.intr = Intrinsics.from_matrix(K, dist=dist)
         self.ba_mode = ba_mode
         self.use_mask = use_mask
         self._step = make_track_step(config, self.intr, use_mask=use_mask,

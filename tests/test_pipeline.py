@@ -23,8 +23,9 @@ def small_cfg():
     )
 
 
-def run_sequence(seq, cfg, use_mask=False):
-    intr = Intrinsics.from_matrix(seq.K)
+def run_sequence(seq, cfg, use_mask=False, intr=None):
+    if intr is None:
+        intr = Intrinsics.from_matrix(seq.K)
     step = make_track_step(cfg, intr, use_mask=use_mask)
     state = init_state(cfg)
     est = []
@@ -120,3 +121,49 @@ def test_frames_since_kf_counts_only_attempted_frames():
     assert int(state.frames_since_kf) == base             # counter held
     state, _ = run(state, 5, seq.rgb[2], seq.depth[2])    # attempted again
     assert int(state.frames_since_kf) in (0, base + 1)    # +1 or KF reset
+
+
+def test_tracking_on_distorted_rendering():
+    """End-to-end with lens distortion: the synthetic pinhole rendering is
+    warped through the Brown-Conrady forward model (simulating the
+    reference's raw camera, Camera.cpp:108-124), and tracking with the
+    coefficient vector recovers near-rectified accuracy while ignoring
+    the coefficients degrades it."""
+    from scipy.ndimage import map_coordinates
+    from kbslam.geom.camera import undistort_points
+
+    dist = (0.22, -0.4, 0.0, 0.0, 0.0)  # TUM-fr1-strength radial
+    seq = render_sequence(num_frames=20, height=240, width=320)
+    intr_d = Intrinsics.from_matrix(seq.K, dist=dist)
+
+    # I_dist(u_d) = I_rect(undistort(u_d)): sample the pinhole rendering
+    # at the rectified source of every distorted grid pixel
+    h, w = 240, 320
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    src = np.asarray(undistort_points(intr_d, grid))
+    coords = np.stack([src[:, 1].reshape(h, w), src[:, 0].reshape(h, w)])
+
+    def warp(img, order):
+        if img.ndim == 3:
+            return np.stack([map_coordinates(img[..., c].astype(np.float32),
+                                             coords, order=order, mode="nearest")
+                             for c in range(img.shape[2])], -1).astype(img.dtype)
+        return map_coordinates(img.astype(np.float32), coords, order=order,
+                               mode="nearest").astype(img.dtype)
+
+    rgb_d = np.stack([warp(f, 1) for f in seq.rgb])
+    dep_d = np.stack([warp(f, 0) for f in seq.depth])
+    seq_d = type(seq)(rgb=rgb_d, depth=dep_d, mask=seq.mask, poses=seq.poses,
+                      K=seq.K)
+
+    est_d, outs_d, _ = run_sequence(seq_d, small_cfg(), intr=intr_d)
+    gt = np.stack(seq.poses)
+    ate_with_model = ate_rmse(est_d[:, :3, 3], gt[:, :3, 3])
+
+    est_no, _, _ = run_sequence(seq_d, small_cfg())  # coefficients ignored
+    ate_without = ate_rmse(est_no[:, :3, 3], gt[:, :3, 3])
+
+    assert sum(o.success for o in outs_d[1:]) >= len(outs_d) - 3
+    assert ate_with_model < 0.030, ate_with_model
+    assert ate_with_model < 0.6 * ate_without, (ate_with_model, ate_without)
