@@ -34,6 +34,12 @@ from kbslam.geom.se3 import SE3, cross_matrix, quat_conj, quat_to_matrix
 from kbslam.ba.lm import _inv3x3
 
 _EPS_Z = 1e-8
+# depth clamp for observations whose landmark moves behind the camera
+# during optimization: the residual stays finite-and-large (so the LM
+# guard rejects steps that push points behind the lens) while the
+# Jacobian weight is zeroed (the max() clamp otherwise yields garbage
+# gradient directions that no damping level can rescue)
+_MIN_Z = 1e-2
 
 
 class GlobalBAData(NamedTuple):
@@ -63,13 +69,14 @@ def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr):
     X = mp_pos[jnp.clip(mp_id, 0)]                             # [c, F, 3]
     T_inv = SE3(cam_q[:, None, :], cam_t[:, None, :]).inverse()
     pc = T_inv.apply(X)
-    z = jnp.maximum(pc[..., 2], _EPS_Z)
+    in_front = pc[..., 2] > _MIN_Z
+    z = jnp.maximum(pc[..., 2], _MIN_Z)
     u = intr.fx * pc[..., 0] / z + intr.cx
     v = intr.fy * pc[..., 1] / z + intr.cy
     r = jnp.stack([u, v], axis=-1) - obs_uv
 
     n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
-    w = w_z * jnp.minimum(1.0, 1.0 / n) * active               # Huber delta=1
+    w = w_z * jnp.minimum(1.0, 1.0 / n) * active * in_front    # Huber delta=1
 
     inv_z = 1.0 / z
     zero = jnp.zeros_like(z)
@@ -93,14 +100,13 @@ def _inv6x6(M):
     return jnp.linalg.inv(M)
 
 
-@functools.lru_cache(maxsize=16)
-def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                damping: float, Pn: int):
-    """Compiled shard_map step, cached by (intrinsics, mesh, knobs) so
-    repeated global_ba_step calls reuse one executable."""
+def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
+                  Pn: int):
+    """Unjitted shard_map step; damping is a traced replicated scalar so
+    one executable serves the whole LM damping schedule."""
 
     def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
-               anchor_mp):
+               anchor_mp, damping):
         # local camera shard: [c, ...] with c = C / n_devices
         c = cam_q.shape[0]
         r, w, J_cam, J_pt, local_cost = _per_obs_terms(
@@ -204,14 +210,44 @@ def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
 
     sharded = P(axis)
     rep = P()
-    fn = _shard_map(
+    return _shard_map(
         kernel,
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
-                  sharded, rep, rep),
+                  sharded, rep, rep, rep),
         out_specs=(sharded, sharded, rep, rep),
     )
-    return jax.jit(fn)
+
+
+def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str):
+    """Unjitted shard_map robust-cost evaluator (no Jacobians): the cheap
+    half of the LM accept/reject test."""
+
+    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos):
+        X = mp_pos[jnp.clip(mp_id, 0)]
+        T_inv = SE3(cam_q[:, None, :], cam_t[:, None, :]).inverse()
+        pc = T_inv.apply(X)
+        z = jnp.maximum(pc[..., 2], _MIN_Z)
+        u = intr.fx * pc[..., 0] / z + intr.cx
+        v = intr.fy * pc[..., 1] / z + intr.cy
+        r = jnp.stack([u, v], axis=-1) - obs_uv
+        n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
+        cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0)
+                       * active)
+        return jax.lax.psum(cost, axis)
+
+    sharded = P(axis)
+    rep = P()
+    return _shard_map(kernel, mesh=mesh,
+                      in_specs=(sharded, sharded, sharded, sharded, sharded,
+                                sharded, rep),
+                      out_specs=P())
+
+
+@functools.lru_cache(maxsize=16)
+def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
+                Pn: int):
+    return jax.jit(_make_step_fn(intr, mesh, axis, pcg_iters, Pn))
 
 
 def global_ba_step(
@@ -223,14 +259,77 @@ def global_ba_step(
     damping: float = 1e-4,
 ) -> tuple[GlobalBAData, jnp.ndarray]:
     """One damped Gauss-Newton step of global BA, sharded over ``axis``.
-    Returns (updated data, pre-step robust cost)."""
-    step = _build_step(intr, mesh, axis, pcg_iters, damping,
-                       data.mp_pos.shape[0])
+    Returns (updated data, pre-step robust cost). UNGUARDED: the step is
+    applied even if it increases the cost — prefer global_ba_solve."""
+    step = _build_step(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0])
     with jax.default_matmul_precision("highest"):
         cam_q, cam_t, mp_pos, cost = step(
             data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
-            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp)
+            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp,
+            jnp.float32(damping))
     return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), cost
+
+
+@functools.lru_cache(maxsize=16)
+def _build_solve(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
+                 Pn: int, iters: int):
+    step = _make_step_fn(intr, mesh, axis, pcg_iters, Pn)
+    costf = _make_cost_fn(intr, mesh, axis)
+
+    def solve(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
+              anchor_mp, lam0):
+        cost0 = costf(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos)
+
+        def body(i, carry):
+            cam_q, cam_t, mp_pos, lam, cost, hist = carry
+            nq, nt, nmp, _ = step(cam_q, cam_t, obs_uv, mp_id, active, w_z,
+                                  cam_free, mp_pos, anchor_mp, lam)
+            nc = costf(nq, nt, obs_uv, mp_id, active, w_z, nmp)
+            # Ceres-style trust region (Optimizers.cpp:203 uses
+            # LEVENBERG_MARQUARDT): accept only strict descent; shrink
+            # damping on success, grow it on rejection and retry.
+            acc = nc < cost
+            cam_q = jnp.where(acc, nq, cam_q)
+            cam_t = jnp.where(acc, nt, cam_t)
+            mp_pos = jnp.where(acc, nmp, mp_pos)
+            lam = jnp.where(acc, jnp.maximum(lam / 3.0, 1e-8),
+                            jnp.minimum(lam * 4.0, 1e5))
+            cost = jnp.where(acc, nc, cost)
+            hist = hist.at[i].set(cost)
+            return cam_q, cam_t, mp_pos, lam, cost, hist
+
+        init = (cam_q, cam_t, mp_pos, lam0, cost0,
+                jnp.zeros((iters,), jnp.float32))
+        cam_q, cam_t, mp_pos, _, _, hist = jax.lax.fori_loop(
+            0, iters, body, init)
+        return cam_q, cam_t, mp_pos, cost0, hist
+
+    return jax.jit(solve)
+
+
+def global_ba_solve(
+    data: GlobalBAData,
+    intr: Intrinsics,
+    mesh: Mesh,
+    axis: str = "stream",
+    iters: int = 5,
+    pcg_iters: int = 30,
+    init_damping: float = 1e-4,
+) -> tuple[GlobalBAData, jnp.ndarray]:
+    """LM-guarded global BA: ``iters`` accept/reject trust-region rounds
+    in ONE compiled program. Returns (data, costs[iters+1]) where
+    costs[0] is the initial robust cost and costs[i+1] the accepted cost
+    after round i (flat where a step was rejected) — monotone
+    non-increasing by construction."""
+    solve = _build_solve(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0],
+                         iters)
+    with jax.default_matmul_precision("highest"):
+        cam_q, cam_t, mp_pos, cost0, hist = solve(
+            data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
+            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp,
+            jnp.float32(init_damping))
+    costs = jnp.concatenate([cost0[None], hist])
+    return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), costs
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +440,8 @@ def dryrun_sharded_global_ba(mesh: Mesh, axis: str = "stream") -> None:
         jax.device_put(data.mp_pos, rep),
         jax.device_put(data.anchor_mp, rep),
     )
-    data2, cost = global_ba_step(data, intr, mesh, axis=axis, pcg_iters=10)
-    assert bool(jnp.isfinite(cost)), "global BA cost not finite"
+    data2, costs = global_ba_solve(data, intr, mesh, axis=axis, iters=2,
+                                   pcg_iters=10)
+    assert bool(jnp.all(jnp.isfinite(costs))), "global BA cost not finite"
     assert bool(jnp.all(jnp.isfinite(data2.cam_t))), "global BA produced NaNs"
+    assert bool(costs[-1] <= costs[0]), "LM guard failed to be monotone"

@@ -166,7 +166,7 @@ class SLAM:
         import numpy as _np
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from kbslam.ba.global_ba import (
-            GlobalBAData, from_map_state, global_ba_step, write_back)
+            GlobalBAData, from_map_state, global_ba_solve, write_back)
 
         if mesh is None:
             mesh = Mesh(_np.array(jax.devices()[:1]), axis_names=("stream",))
@@ -191,14 +191,13 @@ class SLAM:
             jax.device_put(data.mp_pos, rep),
             jax.device_put(data.anchor_mp, rep),
         )
-        costs = []
-        for _ in range(steps):
-            data, cost = global_ba_step(data, self.intr, mesh,
-                                        pcg_iters=pcg_iters)
-            costs.append(float(cost))
+        # LM trust-region solve: accept/reject per round, monotone
+        # non-increasing costs (Ceres' schedule, Optimizers.cpp:203)
+        data, costs = global_ba_solve(data, self.intr, mesh, iters=steps,
+                                      pcg_iters=pcg_iters)
         self.state = self.state._replace(
             map=write_back(state, data, slots, real))
-        return costs
+        return [float(c) for c in np.asarray(costs)]
 
     def finish(self):
         """Drain any in-flight async BA (end-of-sequence)."""

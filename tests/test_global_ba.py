@@ -85,3 +85,48 @@ def test_entry_contract():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_lm_guard_rejects_divergent_steps():
+    """On a badly-initialized problem the UNGUARDED fixed-damping step
+    increases the robust cost (and eventually NaNs); the LM-guarded
+    solve (Ceres' trust-region schedule, reference Optimizers.cpp:203)
+    must stay finite and monotone non-increasing."""
+    from kbslam.ba.global_ba import _make_cost_fn, global_ba_solve
+
+    rng = np.random.default_rng(2)
+    mesh = make_mesh(1)
+    data, intr, _ = make_synthetic_global_problem(rng, n_cams=8, n_pts=64,
+                                                  noise=1.0)
+    costf = jax.jit(_make_cost_fn(intr, mesh, "stream"))
+
+    def cost_of(d):
+        return float(costf(d.cam_q, d.cam_t, d.obs_uv, d.mp_id, d.active,
+                           d.w_z, d.mp_pos))
+
+    # unguarded: the first fixed-damping step makes things WORSE
+    d1, _ = global_ba_step(data, intr, mesh, pcg_iters=30, damping=1e-4)
+    assert cost_of(d1) > cost_of(data)
+
+    # guarded: finite, monotone non-increasing, never above the start
+    _, costs = global_ba_solve(data, intr, mesh, iters=8, pcg_iters=30)
+    g = np.asarray(costs)
+    assert np.all(np.isfinite(g))
+    assert np.all(np.diff(g) <= 1e-4 * g[:-1] + 1e-6)
+    assert g[-1] <= g[0]
+
+
+def test_lm_guard_converges_with_rejections():
+    """Medium-hard problem: the guard rejects some rounds (flat cost
+    stretches) yet converges orders of magnitude below the start."""
+    from kbslam.ba.global_ba import global_ba_solve
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(1)
+    data, intr, _ = make_synthetic_global_problem(rng, n_cams=8, n_pts=64,
+                                                  noise=0.5)
+    _, costs = global_ba_solve(data, intr, mesh, iters=12, pcg_iters=30)
+    g = np.asarray(costs)
+    assert np.all(np.isfinite(g))
+    assert np.all(np.diff(g) <= 1e-4 * g[:-1] + 1e-6)
+    assert g[-1] < 1e-2 * g[0], g
