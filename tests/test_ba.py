@@ -151,3 +151,41 @@ def test_pruning_drops_under_observed_landmarks():
     assert (kf_mp[:5, 0] == -1).all()  # slot 0 cleared in all window KFs
     # other landmarks survive
     assert (kf_mp[:5, 1] == 1).all()
+
+
+def test_compact_solver_matches_dense_reference():
+    """The production compact scatter-free LM solver and the dense
+    [W,F]-tensor reference solver (ba/lm.py, the direct restatement of
+    Optimizers.cpp:201-213) must agree: same costs, same poses, same
+    optimized landmark positions on the same window."""
+    from kbslam.ba.compact import compact_problem
+    from kbslam.ba.compact_lm import solve_window_compact
+    from kbslam.ba.lm import solve_window
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        state, pts_w, _ = build_synthetic_state(rng, px_noise=0.3)
+        with jax.default_matmul_precision("highest"):
+            prob = build_problem(state, INTR, BCFG)
+            dense = jax.jit(lambda p, m: solve_window(p, m, INTR, BCFG))(
+                prob, state.mp_pos)
+            cp = compact_problem(prob, state.mp_pos, BCFG.compact_obs,
+                                 BCFG.compact_landmarks)
+            comp = jax.jit(lambda p, c: solve_window_compact(p, c, INTR,
+                                                             BCFG))(prob, cp)
+
+        assert np.isclose(float(dense.initial_cost), float(comp.initial_cost),
+                          rtol=1e-4)
+        assert np.isclose(float(dense.final_cost), float(comp.final_cost),
+                          rtol=0.05, atol=1e-4), (
+            float(dense.final_cost), float(comp.final_cost))
+        np.testing.assert_allclose(np.asarray(comp.cam_t),
+                                   np.asarray(dense.cam_t), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(comp.cam_q),
+                                   np.asarray(dense.cam_q), atol=1e-3)
+        # landmark agreement through the compact->global id map
+        lids = np.asarray(cp.uniq_global)
+        lv = np.asarray(cp.l_valid)
+        np.testing.assert_allclose(np.asarray(comp.Xc)[lv],
+                                   np.asarray(dense.mp_pos)[lids[lv]],
+                                   atol=5e-3)
