@@ -129,6 +129,14 @@ class MapConfig:
     max_keyframes: int = 64
     max_map_points: int = 65536
     depth_scale: float = 0.001        # uint16 -> metres (VisualOdometry.cpp:52)
+    # Keypoints on depth discontinuities (3x3 neighbourhood spread above
+    # this, in metres) have their depth zeroed: occlusion-rim corners
+    # carry foreground/background-mixed depth that poisons landmarks and
+    # makes BA fit cameras to phantom structure. Deliberate improvement
+    # over the reference, which samples depth.at(y,x) unguarded
+    # (VisualOdometry.cpp:52, Map.cpp:31) — a no-op on smooth scenes.
+    # 0 disables (strict reference behavior).
+    depth_edge_max_spread: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)

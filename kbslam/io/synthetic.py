@@ -83,11 +83,28 @@ def render_sequence(
     seed: int = 0,
     poses: Optional[np.ndarray] = None,
     moving_box: bool = False,
+    scene: str = "plane",        # "plane" | "spheres" (non-planar + occlusion)
+    depth_noise_mm: float = 0.0,  # sensor-style sigma at 1 m (grows with z^2)
+    depth_dropout: float = 0.0,   # fraction of pixels with depth holes
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     tex = _texture(rng)
     tex_size = tex.shape[0]
     plane_extent = 4.0  # plane spans [-4, 4] m in x and y
+
+    # non-planar structure: textured spheres floating between the camera
+    # path (z < 0) and the plane (z = 0) — parallax, occlusion boundaries,
+    # and curved depth gradients the flat plane lacks
+    if scene == "spheres":
+        n_sph = 10
+        sph_c = np.stack([
+            rng.uniform(-2.2, 2.2, n_sph),
+            rng.uniform(-2.2, 2.2, n_sph),
+            rng.uniform(-1.3, -0.35, n_sph),
+        ], axis=1).astype(np.float32)
+        sph_r = rng.uniform(0.18, 0.45, n_sph).astype(np.float32)
+    elif scene != "plane":
+        raise ValueError(f"unknown scene {scene!r}")
 
     K = np.array(
         [[fx, 0, (width - 1) / 2.0], [0, fx, (height - 1) / 2.0], [0, 0, 1.0]]
@@ -112,6 +129,31 @@ def render_sequence(
         dz = d_world[..., 2]
         s = np.where(np.abs(dz) > 1e-9, -t[2] / dz, 1e9)
         hit = (s > 0.05) & (s < 40.0)
+        if scene == "spheres":
+            # nearest positive ray-sphere hit, occluding the plane
+            o_c = t[None, None, None, :] - sph_c[None, None, :, :]  # [H,W,S,3]
+            a = np.sum(d_world * d_world, -1)[..., None]            # [H,W,1]
+            b = 2.0 * np.einsum("hwd,hwsd->hws", d_world, o_c)
+            cterm = np.sum(o_c * o_c, -1) - (sph_r * sph_r)[None, None, :]
+            disc = b * b - 4.0 * a * cterm
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            s_sph = np.where(disc > 0, (-b - sq) / (2.0 * a), 1e9)
+            s_sph = np.where(s_sph > 0.05, s_sph, 1e9)
+            s_near = s_sph.min(-1)
+            which = s_sph.argmin(-1)
+            sph_hit = s_near < s
+            # texture spheres by surface normal (high-frequency detail)
+            pt_s = t[None, None, :] + s_near[..., None] * d_world
+            nrm = (pt_s - sph_c[which]) / sph_r[which][..., None]
+            # coarse texture window (~96 px per sphere): full-resolution
+            # mapping would minify 1024 texels onto a ~30 px silhouette
+            # and alias into non-repeatable descriptors
+            sph_u = (nrm[..., 0] * 0.5 + 0.5) * 95 + which * 83 % (tex_size - 96)
+            sph_v = (nrm[..., 1] * 0.5 + 0.5) * 95 + which * 131 % (tex_size - 96)
+            sph_col = tex[np.clip(sph_v.astype(int), 0, tex_size - 1),
+                          np.clip(sph_u.astype(int), 0, tex_size - 1)]
+            s = np.where(sph_hit, s_near, s)
+            hit = hit | sph_hit
         pt = t[None, None, :] + s[..., None] * d_world
         # depth along camera z axis == s (rays have unit camera z)
         depth_m = np.where(hit, s, 0.0)
@@ -134,10 +176,22 @@ def render_sequence(
             + c10 * (1 - fxq) * fyq
             + c11 * fxq * fyq
         )
+        if scene == "spheres":
+            color = np.where(sph_hit[..., None], sph_col, color)
+            inside = inside | sph_hit
         rgb = np.where(inside[..., None], color, 0.0).astype(np.uint8)
-        depth_mm = np.clip(np.where(inside, depth_m, 0.0) * 1000.0, 0, 65535).astype(
-            np.uint16
-        )
+        depth_vis = np.where(inside, depth_m, 0.0)
+        if depth_noise_mm:
+            # sensor model: sigma grows quadratically with range
+            # (Kinect-style), plus optional dropout holes
+            sig = depth_noise_mm * 1e-3 * np.maximum(depth_vis, 0.3) ** 2
+            depth_vis = np.where(depth_vis > 0,
+                                 depth_vis + rng.normal(size=depth_vis.shape)
+                                 * sig, 0.0)
+        if depth_dropout:
+            keep = rng.random(depth_vis.shape) >= depth_dropout
+            depth_vis = depth_vis * keep
+        depth_mm = np.clip(depth_vis * 1000.0, 0, 65535).astype(np.uint16)
         mask = np.full((height, width), 255, np.uint8)
         if moving_box:
             # a "dynamic object": moving square masked out, mimicking the

@@ -96,6 +96,20 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     # instead of ~2 ms on TPU v5e).
     feats = jax.lax.optimization_barrier(feats)
     depth_kp = depth_at(depth, feats.xy, cfg.map.depth_scale)
+    if cfg.map.depth_edge_max_spread > 0:
+        # occlusion-rim gate (see MapConfig.depth_edge_max_spread): 3x3
+        # max/min depth pooling over the full image (VPU reduce_window,
+        # hole-aware: zeros excluded from the min), then two keypoint
+        # lookups. Rim keypoints keep their 2D role; only depth is zeroed.
+        dmax = jax.lax.reduce_window(depth, jnp.uint16(0), jax.lax.max,
+                                     (3, 3), (1, 1), "SAME")
+        no_hole = jnp.where(depth > 0, depth, jnp.uint16(65535))
+        dmin = jax.lax.reduce_window(no_hole, jnp.uint16(65535), jax.lax.min,
+                                     (3, 3), (1, 1), "SAME")
+        spread = (depth_at(dmax, feats.xy, cfg.map.depth_scale)
+                  - depth_at(dmin, feats.xy, cfg.map.depth_scale))
+        depth_kp = jnp.where(spread <= cfg.map.depth_edge_max_spread,
+                             depth_kp, 0.0)
     if intr.has_distortion:
         # rectify keypoints ONCE (cv::undistortPoints inverse model);
         # depth/patches already sampled at raw coords above, and every

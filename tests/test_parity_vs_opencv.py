@@ -44,4 +44,6 @@ def test_ate_parity_with_opencv_reference(seed):
     # With multi-keyframe tracking (track_keyframes=3) ours reaches the
     # cv2 oracle (13.9 vs 13.4 mm on this fixture); the bound leaves
     # headroom for cross-seed variation.
-    assert ate_ours <= max(ate_ref * 1.15, 0.02), (ate_ours, ate_ref)
+    # BASELINE.md target: within 5% of the cv2 oracle (floor 15 mm
+    # guards seed-level noise at this tiny 240x320 resolution)
+    assert ate_ours <= max(ate_ref * 1.05, 0.015), (ate_ours, ate_ref)
