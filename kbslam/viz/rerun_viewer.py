@@ -55,6 +55,43 @@ def colorize_depth(depth: np.ndarray, alpha: float = 0.02) -> np.ndarray:
     return jet_colormap(v)
 
 
+#: Declarative layout spec — the analogue of the reference's checked-in
+#: ``visual_odometry.rbl`` blueprint (Viewer.cpp:8 loads it; the file is
+#: binary RRF2 so the layout is re-stated here: one 3D world view plus
+#: the three camera image feeds). Kept as data so it is testable without
+#: the SDK and renderable with it.
+BLUEPRINT_SPEC = {
+    "world": {"kind": "3d", "origin": "/world"},
+    "rgb": {"kind": "2d", "origin": "/camera/0/rgb"},
+    "depth": {"kind": "2d", "origin": "/camera/0/depth"},
+    "mask": {"kind": "2d", "origin": "/camera/0/mask"},
+}
+
+
+def make_blueprint():
+    """Build the rerun Blueprint from BLUEPRINT_SPEC: 3D world view on
+    the left, the rgb/depth/mask feeds stacked on the right. Returns
+    None when the SDK is absent (callers no-op, like the viewer)."""
+    if not HAVE_RERUN:
+        return None
+    import rerun.blueprint as rrb
+
+    views = {
+        "3d": rrb.Spatial3DView,
+        "2d": rrb.Spatial2DView,
+    }
+    cam = [views[s["kind"]](origin=s["origin"], name=name)
+           for name, s in BLUEPRINT_SPEC.items() if name != "world"]
+    w = BLUEPRINT_SPEC["world"]
+    return rrb.Blueprint(
+        rrb.Horizontal(
+            views[w["kind"]](origin=w["origin"], name="world"),
+            rrb.Vertical(*cam),
+            column_shares=[3, 1],
+        )
+    )
+
+
 class Viewer:
     def __init__(self, app_name: str = "Visual Odometry", spawn: bool = True,
                  depth_display_alpha: float = 0.02):
@@ -65,7 +102,8 @@ class Viewer:
         self.depth_display_alpha = depth_display_alpha
         self.last = {}
         if self.enabled:
-            rr.init(app_name, spawn=spawn)
+            rr.init(app_name, spawn=spawn,
+                    default_blueprint=make_blueprint())
 
     def update(
         self,

@@ -30,3 +30,17 @@ def test_stage_timer():
     assert s["track"]["count"] == 3
     assert s["ba"]["count"] == 1
     assert "track" in t.report()
+
+
+def test_blueprint_spec_matches_reference_entity_paths():
+    """The blueprint analogue (Viewer.cpp:8's visual_odometry.rbl) must
+    cover the world view and all three camera feeds, and degrade to
+    None without the SDK."""
+    from kbslam.viz.rerun_viewer import (BLUEPRINT_SPEC, HAVE_RERUN,
+                                         make_blueprint)
+
+    assert BLUEPRINT_SPEC["world"]["origin"] == "/world"
+    for feed in ("rgb", "depth", "mask"):
+        assert BLUEPRINT_SPEC[feed]["origin"] == f"/camera/0/{feed}"
+    bp = make_blueprint()
+    assert (bp is None) == (not HAVE_RERUN)
