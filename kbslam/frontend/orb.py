@@ -174,6 +174,10 @@ def detect_and_compute(
     )
 
 
-def extract(rgb: jnp.ndarray, mask: Optional[jnp.ndarray], cfg: OrbConfig) -> Features:
-    """RGB uint8 [H, W, 3] -> Features (the reference's ExtractFeatures)."""
-    return detect_and_compute(rgb_to_gray(rgb), mask, cfg)
+def extract(img: jnp.ndarray, mask: Optional[jnp.ndarray], cfg: OrbConfig) -> Features:
+    """RGB uint8 [H, W, 3] — or pre-converted grayscale [H, W] — ->
+    Features (the reference's ExtractFeatures). Gray input exists for
+    bandwidth-bound ingress links: host-side luma conversion cuts the
+    upload 1.6x and the extractor never needed color."""
+    gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+    return detect_and_compute(gray, mask, cfg)
