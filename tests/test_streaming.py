@@ -74,3 +74,34 @@ def test_chunked_stream_latency_bound():
         if i >= 8:
             assert seen >= i - 8, (i, seen)
     assert [d["frame"] for d in cs.flush()] == list(range(seen + 1, 24))
+
+
+def test_gray_ingress_matches_gray_fed_per_frame_path():
+    """gray=True host conversion: identical results to feeding the same
+    uint8 luma frames through the per-frame path (the 1.6x-bandwidth
+    ingress mode changes bytes on the wire, not the algorithm)."""
+    cfg = _cfg()
+    seq = render_sequence(num_frames=9, height=120, width=160)
+    intr = Intrinsics.from_matrix(seq.K)
+    luma = [(f.astype(np.float32)
+             @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
+            for f in seq.rgb]
+
+    step = make_track_step(cfg, intr, use_mask=False, auto_key=True)
+    ref_state = init_state(cfg)
+    ref = []
+    for i in range(9):
+        ref_state, out = step(ref_state, jnp.asarray(luma[i]),
+                              jnp.asarray(seq.depth[i]))
+        ref.append(jax.device_get(out))
+
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=4, gray=True)
+    got = []
+    for i in range(9):
+        got += cs.feed(seq.rgb[i], seq.depth[i])
+    got += cs.flush()
+    assert len(got) == 9
+    for r, g in zip(ref, got):
+        assert g["success"] == bool(r.success)
+        np.testing.assert_allclose(g["pose_t"], np.asarray(r.pose_t),
+                                   atol=1e-5)
