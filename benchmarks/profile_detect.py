@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Sub-stage profiling of the detect stage (pyramid/FAST/Harris/top_k)."""
+"""Sub-stage profiling of the detect stage (pyramid/FAST/Harris/top-k).
+
+A/Bs the per-level dense loop against the stacked [L, H, W] form and
+exact top_k against approx_max_k, all in ONE process so the numbers
+share a congestion window (tunnel timing methodology: CLAUDE.md #2/#3).
+"""
 import json, os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kbslam_jax_cache")
@@ -47,7 +52,8 @@ def main():
     order = (list(range(12)) + list(range(10, 0, -1)))[:T]
     rgb = jnp.asarray(np.stack([z["rgb"][j] for j in order]))
     L = cfg.orb.num_levels
-    sizes = pyramid_sizes(480, 640, L, cfg.orb.scale_factor)
+    h0, w0 = 480, 640
+    sizes = pyramid_sizes(h0, w0, L, cfg.orb.scale_factor)
     quotas = level_quotas(cfg.orb)
     results = {}
 
@@ -60,36 +66,84 @@ def main():
     pyrs = [pyr_of(rgb[i]) for i in range(T)]
     pyr = jax.tree.map(lambda *xs: jnp.stack(xs), *pyrs)
 
-    results["blur_all_levels"] = time_scan(
-        "blur_all_levels",
-        lambda p: [gaussian_blur(p[lv], cfg.orb.blur_kernel, cfg.orb.blur_sigma) for lv in range(L)],
-        pyr)
-    results["fast_nms_all_levels"] = time_scan(
-        "fast_nms_all_levels",
-        lambda p: [nms3x3(fast_score_map(p[lv], float(cfg.orb.fast_threshold))) for lv in range(L)],
-        pyr)
-    results["harris_all_levels"] = time_scan(
-        "harris_all_levels",
-        lambda p: [harris_response(p[lv], cfg.orb.harris_block_size, cfg.orb.harris_k) for lv in range(L)],
-        pyr)
+    @jax.jit
+    def stack_of(p):
+        s = jnp.zeros((L, h0, w0), jnp.float32)
+        for lv in range(L):
+            hl, wl = sizes[lv]
+            s = s.at[lv, :hl, :wl].set(p[lv])
+        return s
+    stk = jnp.stack([stack_of(jax.tree.map(lambda a: a[i], pyr)) for i in range(T)])
+
+    def dense_perlevel(p):
+        return [(nms3x3(fast_score_map(p[lv], float(cfg.orb.fast_threshold))),
+                 harris_response(p[lv], cfg.orb.harris_block_size, cfg.orb.harris_k))
+                for lv in range(L)]
+    results["dense_perlevel"] = time_scan("dense_perlevel", dense_perlevel, pyr)
+
+    def dense_stacked(s):
+        return (nms3x3(fast_score_map(s, float(cfg.orb.fast_threshold))),
+                harris_response(s, cfg.orb.harris_block_size, cfg.orb.harris_k))
+    results["dense_stacked"] = time_scan("dense_stacked", dense_stacked, stk)
+
+    results["blur_perlevel"] = time_scan(
+        "blur_perlevel",
+        lambda p: [gaussian_blur(p[lv], cfg.orb.blur_kernel, cfg.orb.blur_sigma)
+                   for lv in range(L)], pyr)
+    results["blur_stacked"] = time_scan(
+        "blur_stacked",
+        lambda s: gaussian_blur(s, cfg.orb.blur_kernel, cfg.orb.blur_sigma), stk)
+
+    # candidate maps (stacked layout), precomputed for selection timing
+    ys = jnp.arange(h0)[None, :, None]
+    xs_ = jnp.arange(w0)[None, None, :]
+    hl_arr = jnp.asarray([s[0] for s in sizes])[:, None, None]
+    wl_arr = jnp.asarray([s[1] for s in sizes])[:, None, None]
+    b = cfg.orb.edge_threshold
+    region = ((ys >= b) & (ys < hl_arr - b) & (xs_ >= b) & (xs_ < wl_arr - b))
 
     @jax.jit
-    def cand_of(p):
+    def cand_of(s):
+        score, har = dense_stacked(s)
+        return jnp.where((score > 0) & region, har, -1e30)
+    cand = jnp.stack([cand_of(stk[i]) for i in range(T)])
+
+    results["sel_approx"] = time_scan(
+        "sel_approx",
+        lambda c: [jax.lax.approx_max_k(c[lv].reshape(-1), quotas[lv],
+                                        recall_target=0.95) for lv in range(L)],
+        cand)
+    results["sel_exact"] = time_scan(
+        "sel_exact",
+        lambda c: [jax.lax.top_k(c[lv].reshape(-1), quotas[lv]) for lv in range(L)],
+        cand)
+
+    # subpixel parabolic offsets (gather cost at the selected corners)
+    @jax.jit
+    def sel_of(c):
         out = []
         for lv in range(L):
-            score = nms3x3(fast_score_map(p[lv], float(cfg.orb.fast_threshold)))
-            region = border_mask(*sizes[lv], cfg.orb.edge_threshold)
-            h = harris_response(p[lv], cfg.orb.harris_block_size, cfg.orb.harris_k)
-            out.append(jnp.where((score > 0) & region, h, -1e30))
+            v, i = jax.lax.approx_max_k(c[lv].reshape(-1), quotas[lv],
+                                        recall_target=0.95)
+            out.append(i)
         return tuple(out)
-    cands = [cand_of(jax.tree.map(lambda a: a[i], pyr)) for i in range(T)]
-    cand = jax.tree.map(lambda *xs: jnp.stack(xs), *cands)
+    idxs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                        *[sel_of(cand[i]) for i in range(T)])
 
-    results["topk_all_levels"] = time_scan(
-        "topk_all_levels",
-        lambda c: [jax.lax.top_k(jax.lax.optimization_barrier(c[lv].reshape(-1)), quotas[lv])
-                   for lv in range(L)],
-        cand)
+    def subpix(x):
+        c, idx = x
+        outs = []
+        for lv in range(L):
+            hl, wl = sizes[lv]
+            xi = idx[lv] % w0
+            yi = idx[lv] // w0
+            hb = c[lv]
+            def at(dy, dx):
+                return hb[jnp.clip(yi + dy, 0, hl - 1), jnp.clip(xi + dx, 0, wl - 1)]
+            c0 = at(0, 0)
+            outs.append(at(0, -1) + c0 + at(0, 1) + at(-1, 0) + at(1, 0))
+        return outs
+    results["subpixel_gathers"] = time_scan("subpixel_gathers", subpix, (cand, idxs))
 
     print(json.dumps({k: round(v, 3) for k, v in results.items()}))
 

@@ -30,6 +30,13 @@ class OrbConfig:
     blur_sigma: float = 2.0
     # Padded feature capacity — multiple of 128 for MXU-friendly shapes.
     max_features: int = 3072
+    # Matmul precision of the Pallas patch-gather's one-hot selection
+    # dots ("highest" | "default"). The selector side is 0/1 (bf16
+    # exact); "default" (one bf16 pass) only rounds the blurred
+    # intensities ~0.2%, which perturbs a small fraction of BRIEF
+    # comparisons. TPU A/B: track step 4.52 -> 4.10 ms, ATE 5.65 vs
+    # 5.67 mm, inliers unchanged — "default" wins.
+    patch_precision: str = "default"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,15 +58,20 @@ class PnPConfig:
     batched launch.
     """
 
-    num_hypotheses: int = 256         # >= reference's 100 iterations
+    num_hypotheses: int = 128         # >= reference's 100 iterations
+    # (256 -> 128 measured ATE-identical at 240x320/3-seed AND 640x480:
+    # PROSAC-ordered sampling concentrates hypotheses on strong matches)
     sample_size: int = 6              # 6-point DLT minimal solver
     reproj_threshold: float = 8.0     # pixels (VisualOdometry.cpp:73)
     confidence: float = 0.99          # kept for parity bookkeeping
     min_points: int = 4               # PnP attempted iff >=4 pairs (VisualOdometry.cpp:146)
-    refine_iters: int = 3             # Gauss-Newton refinement on inliers
-    # (3 iterations measure ATE-identical to 10 — GN converges in 2-3
+    refine_iters: int = 2             # Gauss-Newton refinement on inliers
+    # (2 iterations measure ATE-identical to 10 — GN converges in 1-2
     # from the polished RANSAC winner; runs twice: wide then tight gate)
     polish_iters: int = 2             # per-hypothesis GN on minimal sets
+    # (1 iteration looked ATE-identical on smooth scenes but flipped
+    # RANSAC winners on the hard sphere scene, breaking the BA-helps
+    # contract — keep 2)
     dlt_fraction: float = 0.125       # hypothesis share for DLT (rest Kabsch;
     # DLT only carries frames with missing current-frame depth)
     min_inliers: int = 6              # below this the solve is a failure
@@ -68,8 +80,9 @@ class PnPConfig:
     # slots: typical frames carry ~1k matches out of 9216 padded slots,
     # so compaction shrinks every scoring/refinement tensor ~6x. Only
     # binds when a frame has more matches than this (then the weakest
-    # are dropped). Multiple of 128 for MXU-friendly shapes.
-    max_correspondences: int = 1536
+    # are dropped). Multiple of 128 for MXU-friendly shapes. 1536 -> 1024
+    # measured ATE-identical (typical frames carry ~1k ratio survivors).
+    max_correspondences: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,7 @@ def extract_patches(
     level_dims: jnp.ndarray,     # [L, 2] (h_l, w_l)
     xy: jnp.ndarray,             # [N, 2] LEVEL-coordinate keypoints
     level: jnp.ndarray,          # [N] int32
+    precision: str = "highest",  # Pallas selection-dot precision
 ) -> jnp.ndarray:
     """One 40x40 patch per keypoint, [N, S^2].
 
@@ -116,7 +117,10 @@ def extract_patches(
         Wp = max(-(-W // 128) * 128, 2 * 128)
         if (Hp, Wp) != (H, W):
             stacked = jnp.pad(stacked, ((0, 0), (0, Hp - H), (0, Wp - W)))
-        return extract_patches_pallas(stacked, level, y0, x0).reshape(
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        return extract_patches_pallas(stacked, level, y0, x0,
+                                      precision=prec).reshape(
             n, _PATCH_S * _PATCH_S)
 
     return jax.vmap(

@@ -60,32 +60,44 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _pad_spec(ndim: int, row_pad, col_pad):
+    """Pad widths for the last two axes only (leading axes untouched)."""
+    return [(0, 0)] * (ndim - 2) + [row_pad, col_pad]
+
+
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian blur with edge replication (cv2 BORDER_REFLECT-ish).
 
     cv::ORB blurs each level (7x7, sigma 2) before BRIEF sampling.
+    Operates on the last two axes; leading axes (e.g. a stacked pyramid)
+    are batched.
     """
     k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
     r = ksize // 2
-    padded = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    h, w = img.shape[-2], img.shape[-1]
+    padded = jnp.pad(img, _pad_spec(img.ndim, (r, r), (0, 0)), mode="edge")
     # Vertical pass: sum of shifted rows
-    rows = sum(padded[i : i + img.shape[0], :] * k[i] for i in range(ksize))
-    padded = jnp.pad(rows, ((0, 0), (r, r)), mode="edge")
-    cols = sum(padded[:, i : i + img.shape[1]] * k[i] for i in range(ksize))
+    rows = sum(padded[..., i : i + h, :] * k[i] for i in range(ksize))
+    padded = jnp.pad(rows, _pad_spec(img.ndim, (0, 0), (r, r)), mode="edge")
+    cols = sum(padded[..., :, i : i + w] * k[i] for i in range(ksize))
     return cols
 
 
 def box_filter(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """Sum over a ksize x ksize window (zero padded), via shifted adds."""
+    """Sum over a ksize x ksize window (zero padded), via shifted adds.
+
+    Operates on the last two axes; leading axes are batched."""
     r = ksize // 2
-    padded = jnp.pad(img, ((r, r), (0, 0)))
-    rows = sum(padded[i : i + img.shape[0], :] for i in range(ksize))
-    padded = jnp.pad(rows, ((0, 0), (r, r)))
-    return sum(padded[:, i : i + img.shape[1]] for i in range(ksize))
+    h, w = img.shape[-2], img.shape[-1]
+    padded = jnp.pad(img, _pad_spec(img.ndim, (r, r), (0, 0)))
+    rows = sum(padded[..., i : i + h, :] for i in range(ksize))
+    padded = jnp.pad(rows, _pad_spec(img.ndim, (0, 0), (r, r)))
+    return sum(padded[..., :, i : i + w] for i in range(ksize))
 
 
 def shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Image shifted so out[y, x] = img[y + dy, x + dx] (zero fill)."""
-    h, w = img.shape
-    padded = jnp.pad(img, ((3, 3), (3, 3)))
-    return jax.lax.dynamic_slice(padded, (3 + dy, 3 + dx), (h, w))
+    """Image shifted so out[..., y, x] = img[..., y + dy, x + dx] (zero
+    fill). Operates on the last two axes; leading axes are batched."""
+    padded = jnp.pad(img, _pad_spec(img.ndim, (3, 3), (3, 3)))
+    start = (0,) * (img.ndim - 2) + (3 + dy, 3 + dx)
+    return jax.lax.dynamic_slice(padded, start, img.shape)

@@ -77,7 +77,15 @@ def detect_and_compute(
     pyr = build_pyramid(gray, cfg.num_levels, cfg.scale_factor)
 
     h0, w0 = sizes[0]
-    xy_parts, val_parts, ang_parts, lvl_parts, resp_parts = [], [], [], [], []
+    # NOTE(perf, measured): a stacked [L, h0, w0] form of the dense
+    # stages (pad every level to level-0 size, one kernel set for all
+    # levels) was tried and is SLOWER than this per-level loop
+    # (dense 0.514 vs 0.471 ms, blur 0.333 vs 0.284 ms, same congestion
+    # window — benchmarks/profile_detect.py): XLA already fuses each
+    # level's stencils well, and padding triples the dense pixel work.
+    # Selection is approx_max_k at 0.354 ms TOTAL vs 3.305 ms for exact
+    # top_k. Don't re-stack.
+    xy_parts, val_parts, lvl_parts, resp_parts = [], [], [], []
     stacked_blur = jnp.zeros((cfg.num_levels, h0, w0), jnp.float32)
     for lv in range(cfg.num_levels):
         img = pyr[lv]
@@ -157,7 +165,8 @@ def detect_and_compute(
     # rBRIEF bits both come from the same 40x40 patches (no dense
     # moment convolutions — see brief.ic_angles)
     level_dims = jnp.asarray(sizes, jnp.int32)       # [L, 2] (h, w)
-    patches = brief.extract_patches(stacked_blur, level_dims, xy_lvl, levels)
+    patches = brief.extract_patches(stacked_blur, level_dims, xy_lvl, levels,
+                                    precision=cfg.patch_precision)
     angle = brief.ic_angles(patches, radius=cfg.patch_size // 2)
     desc = brief.bits_from_patches(patches, angle)
 

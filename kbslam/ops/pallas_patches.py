@@ -38,7 +38,7 @@ _BW = 128  # block cols; 2 blocks -> 256 >= 40 + max dx 216
 
 
 def _kernel(lv_ref, byf_ref, bxf_ref, dy_ref, dx_ref,
-            *refs, S: int, P: int):
+            *refs, S: int, P: int, precision):
     blocks, out_ref = refs[:-1], refs[-1]
     i = pl.program_id(0)
     for p in range(P):
@@ -54,17 +54,18 @@ def _kernel(lv_ref, byf_ref, bxf_ref, dy_ref, dx_ref,
         rows = jax.lax.dot_general(
             rowsel, blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # [S, 256]
+            precision=precision)                          # [S, 256]
         ci = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 0)
         cj = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 1)
         colsel = (ci == cj + dx).astype(jnp.float32)
         out_ref[p] = jax.lax.dot_general(
             rows, colsel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
 
-@functools.partial(jax.jit, static_argnames=("patch_size", "patches_per_step"))
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "patches_per_step", "precision"))
 def extract_patches_pallas(
     stacked: jnp.ndarray,   # [L, H, W] float32; H % 48 == 0, W % 128 == 0
     level: jnp.ndarray,     # [N] int32
@@ -72,6 +73,7 @@ def extract_patches_pallas(
     x0: jnp.ndarray,        # [N] int32 pre-clamped to [0, W - S]
     patch_size: int = 40,
     patches_per_step: int = 4,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Returns [N, patch_size, patch_size] float32."""
     n = level.shape[0]
@@ -104,7 +106,7 @@ def extract_patches_pallas(
             (P, S, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, S=S, P=P),
+        functools.partial(_kernel, S=S, P=P, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, S, S), jnp.float32),
         compiler_params=pltpu.CompilerParams(
