@@ -21,7 +21,8 @@ from kbslam.config import OrbConfig
 from kbslam.frontend import brief
 from kbslam.frontend.fast import border_mask, fast_score_map, nms3x3
 from kbslam.frontend.harris import harris_response
-from kbslam.frontend.image import build_pyramid, gaussian_blur, pyramid_sizes, rgb_to_gray
+from kbslam.frontend.image import (
+    build_pyramid, gaussian_blur, pyramid_sizes, rgb_to_gray, shift2d)
 
 _NEG = -1e30
 
@@ -101,9 +102,23 @@ def detect_and_compute(
         cand = jnp.where((score > 0) & region, harris, _NEG)
 
         k = quotas[lv]
+        # subpixel: 1-D parabola fits on the Harris response around the
+        # integer maximum (the C++ reference keeps integer corners; this
+        # halves localization noise and directly improves ATE). Computed
+        # as DENSE offset maps with both axes packed into one lane so
+        # each selected corner costs ONE scalar gather instead of five
+        # (gathers are ~45 ns/element serial on TPU; 5 lookups x 3072
+        # corners measured 0.44 ms, the dense maps ~0.1 ms). Offsets are
+        # quantized to 1/1024 px — far below corner noise.
+        dxm = _parabolic_offset(shift2d(harris, 0, -1), harris,
+                                shift2d(harris, 0, 1))
+        dym = _parabolic_offset(shift2d(harris, -1, 0), harris,
+                                shift2d(harris, 1, 0))
+        enc = (jnp.round((dxm + 0.5) * 1024.0) * 2048.0
+               + jnp.round((dym + 0.5) * 1024.0))
         # barrier: keep the dense FAST/Harris producers out of top_k's
         # sort comparator (XLA fusion recompute blowup on TPU)
-        harris_b = jax.lax.optimization_barrier(harris)
+        enc_b = jax.lax.optimization_barrier(enc)
         # approx_max_k: TPU-native partial-reduction top-k (measured 4x
         # faster than exact lax.top_k on the 300k-candidate level-0 map;
         # recall 0.95 only perturbs the WEAKEST corners of a level, and
@@ -114,15 +129,9 @@ def detect_and_compute(
         valid = vals > _NEG * 0.5
         xi = idx % wl
         yi = idx // wl
-        # subpixel: 1-D parabola fits on the Harris response around the
-        # integer maximum (the C++ reference keeps integer corners; this
-        # halves localization noise and directly improves ATE)
-        def at(dy, dx):
-            return harris_b[jnp.clip(yi + dy, 0, hl - 1),
-                            jnp.clip(xi + dx, 0, wl - 1)]
-        c0 = at(0, 0)
-        dx_off = _parabolic_offset(at(0, -1), c0, at(0, 1))
-        dy_off = _parabolic_offset(at(-1, 0), c0, at(1, 0))
+        e = enc_b[yi, xi]
+        dx_off = jnp.floor(e / 2048.0) * (1.0 / 1024.0) - 0.5
+        dy_off = jnp.mod(e, 2048.0) * (1.0 / 1024.0) - 0.5
         x = xi.astype(jnp.float32) + dx_off
         y = yi.astype(jnp.float32) + dy_off
         xy_l = jnp.stack([x, y], axis=-1)
