@@ -17,10 +17,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Plain Python int, NOT jnp.int32: a module-level device scalar captured
-# as a jit constant permanently degrades the dispatch path on tunneled
-# TPU platforms (measured: every subsequent call +30 ms).
-_BIG = 1 << 20
+# Plain Python ints, NOT jnp values: a module-level device scalar
+# captured as a jit constant permanently degrades the dispatch path on
+# tunneled TPU platforms (measured: every subsequent call +30 ms).
+# Invalid-entry sentinel: must exceed any real 256-bit Hamming distance
+# AND be exactly representable in bfloat16 (the reduction dtype).
+_SENTINEL = 512
 
 
 class MatchResult(NamedTuple):
@@ -64,24 +66,32 @@ def knn2_ratio_match(
     improvement, config: MatcherConfig.cross_check).
     """
     dist = hamming_distance_matrix(query_desc, train_desc)
-    dist = jnp.where(train_valid[None, :], dist, _BIG)
-    dist = jnp.where(query_valid[:, None], dist, _BIG)
+    # The reduction passes over the [Nq, Nt] matrix are HBM-bandwidth
+    # bound (~113 MB at int32 for 9216x3072). Hamming distances are
+    # integers <= 256 — exact in bfloat16 — so the masked matrix is
+    # narrowed to bf16 in the matmul epilogue (sentinel 512, also
+    # bf16-exact), halving every pass's traffic.
+    sent = jnp.bfloat16(_SENTINEL)
+    d16 = jnp.where(train_valid[None, :] & query_valid[:, None],
+                    dist.astype(jnp.bfloat16), sent)
 
     # top-2 smallest along axis 1 via double argmin: two VPU reduction
     # passes. (lax.top_k here lets XLA fuse the distance matmul into the
     # sort comparator — measured 90 ms vs 0.06 ms on TPU v5e.)
-    best = jnp.min(dist, axis=1)
-    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    second = jnp.min(jnp.where(cols == best_idx[:, None], _BIG, dist), axis=1)
+    best = jnp.min(d16, axis=1)
+    best_idx = jnp.argmin(d16, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d16.shape, 1)
+    second = jnp.min(jnp.where(cols == best_idx[:, None], sent, d16), axis=1)
 
+    best_i = best.astype(jnp.int32)
+    second_i = second.astype(jnp.int32)
     is_match = (
         query_valid
         & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
-        & (best < _BIG)
+        & (best_i < _SENTINEL)
     )
     if cross_check:
-        rev_best = jnp.argmin(dist, axis=0).astype(jnp.int32)  # per train col
-        rows = jnp.arange(dist.shape[0], dtype=jnp.int32)
+        rev_best = jnp.argmin(d16, axis=0).astype(jnp.int32)  # per train col
+        rows = jnp.arange(d16.shape[0], dtype=jnp.int32)
         is_match = is_match & (rev_best[best_idx] == rows)
-    return MatchResult(best_idx, best, second, is_match)
+    return MatchResult(best_idx, best_i, second_i, is_match)

@@ -39,15 +39,19 @@ def _sample_valid_indices(key, valid: jnp.ndarray, num_sets: int,
 
     packed=True asserts the caller already placed all valid entries at
     the front (the pipeline's PROSAC-ordered compaction does), skipping
-    the packing sort."""
+    any rank->index translation. Otherwise ranks map to indices by
+    inverse-CDF on the validity prefix count — a [draws, N] comparison
+    + argmax instead of an argsort over N (sorts cost ~0.2 ms here;
+    the comparison matrix is a couple of fused VPU passes)."""
     n_valid = jnp.sum(valid.astype(jnp.int32))
     u = jax.random.randint(key, (num_sets, set_size), 0, jnp.maximum(n_valid, 1))
     if packed:
         return u
-    # stable partition: indices of valid entries first
-    order = jnp.argsort(jnp.logical_not(jax.lax.optimization_barrier(valid)),
-                        stable=True)
-    return order[u]
+    cnt = jnp.cumsum(valid.astype(jnp.int32))
+    # the (u+1)-th valid entry is the unique i with cnt[i] == u+1 AND
+    # valid[i] (cnt only increments at valid entries)
+    eq = (cnt[None, :] == (u.reshape(-1, 1) + 1)) & valid[None, :]
+    return jnp.argmax(eq, axis=1).astype(jnp.int32).reshape(num_sets, set_size)
 
 
 def ransac_pnp(

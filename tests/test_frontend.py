@@ -152,3 +152,47 @@ def test_mask_suppresses_detections(textured_image):
     v = np.asarray(feats.valid)
     xy = np.asarray(feats.xy)[v]
     assert (xy[:, 0] >= 155).all()  # small slack for level-1 nearest resize
+
+
+def test_subpixel_packed_offsets_match_direct_lookups(textured_image):
+    """The packed dense-offset encoding (one f32 lane carrying both axis
+    offsets, one gather per corner — see orb.detect_and_compute) must
+    decode to the direct 5-lookup parabolic refinement, up to the 1/1024
+    px quantization of the packing."""
+    from kbslam.frontend.harris import harris_response
+    from kbslam.frontend.image import shift2d
+    from kbslam.frontend.orb import _parabolic_offset
+
+    cfg = OrbConfig(num_levels=1, max_features=128)
+    gray = jnp.asarray(textured_image, jnp.float32)
+    harris = harris_response(gray, cfg.harris_block_size, cfg.harris_k)
+
+    # the production encoding (same expressions as orb.detect_and_compute)
+    dxm = _parabolic_offset(shift2d(harris, 0, -1), harris,
+                            shift2d(harris, 0, 1))
+    dym = _parabolic_offset(shift2d(harris, -1, 0), harris,
+                            shift2d(harris, 1, 0))
+    enc = (jnp.round((dxm + 0.5) * 1024.0) * 2048.0
+           + jnp.round((dym + 0.5) * 1024.0))
+
+    rng = np.random.default_rng(3)
+    h, w = harris.shape
+    yi = rng.integers(2, h - 2, size=300)
+    xi = rng.integers(2, w - 2, size=300)
+    e = np.asarray(enc)[yi, xi]
+    dx_dec = np.floor(e / 2048.0) / 1024.0 - 0.5
+    dy_dec = np.mod(e, 2048.0) / 1024.0 - 0.5
+
+    hn = np.asarray(harris)
+    c0 = hn[yi, xi]
+    dx_ref = np.asarray(_parabolic_offset(
+        jnp.asarray(hn[yi, xi - 1]), jnp.asarray(c0),
+        jnp.asarray(hn[yi, xi + 1])))
+    dy_ref = np.asarray(_parabolic_offset(
+        jnp.asarray(hn[yi - 1, xi]), jnp.asarray(c0),
+        jnp.asarray(hn[yi + 1, xi])))
+    # saturated offsets decode exactly; interior ones to quantization
+    np.testing.assert_allclose(dx_dec, dx_ref, atol=1.01 / 1024)
+    np.testing.assert_allclose(dy_dec, dy_ref, atol=1.01 / 1024)
+    assert (np.abs(dx_dec) <= 0.5 + 1e-6).all()
+    assert (np.abs(dy_dec) <= 0.5 + 1e-6).all()
