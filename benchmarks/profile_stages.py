@@ -225,11 +225,13 @@ def main():
 
     results["patches"] = time_scan(
         "patches",
-        lambda x: brief.extract_patches(x[0], level_dims, x[1], x[2]),
+        lambda x: brief.extract_patches(x[0], level_dims, x[1], x[2],
+                                        precision=cfg.orb.patch_precision),
         (stacked, xy_lvl, feats.level))
 
     def desc_from_patches(x):
-        patches = brief.extract_patches(x[0], level_dims, x[1], x[2])
+        patches = brief.extract_patches(x[0], level_dims, x[1], x[2],
+                                        precision=cfg.orb.patch_precision)
         ang = brief.ic_angles(patches, radius=cfg.orb.patch_size // 2)
         return brief.bits_from_patches(patches, ang)
 
