@@ -132,17 +132,30 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         pts3d = unproject(intr, m.kf_kp_xy[slot], m.kf_kp_depth[slot])
     else:
         # concatenated bank of the last NK keyframes; 3D points in WORLD
-        # coordinates so one PnP constrains against all of them
+        # coordinates so one PnP constrains against all of them.
+        # Rows are pulled with statically-unrolled per-slot dynamic
+        # slices, NOT a vector gather kf_desc[kslots]: XLA lowers the
+        # dynamic multi-row gather of the [capacity, F, 32B] descriptor
+        # ring as a full-ring async copy (~50 MB/frame measured in the
+        # profile — 4x 16-row slice-starts per frame); per-slot
+        # dynamic_slice moves only the NK referenced rows (~2.4 MB).
         ids = m.num_kf - 1 - jnp.arange(NK)
         kslots = jnp.maximum(ids, 0) % m.capacity_kf
         kreal = ids >= 0
-        q_desc = m.kf_desc[kslots].reshape(-1, m.kf_desc.shape[-1])
+
+        def bank(arr):
+            rows = [jax.lax.dynamic_index_in_dim(arr, kslots[i], axis=0,
+                                                 keepdims=True)
+                    for i in range(NK)]
+            return jnp.concatenate(rows, axis=0)          # [NK, ...]
+
+        q_desc = bank(m.kf_desc).reshape(-1, m.kf_desc.shape[-1])
         q_valid = (
-            m.kf_kp_valid[kslots] & kreal[:, None]
+            bank(m.kf_kp_valid) & kreal[:, None]
         ).reshape(-1) & jnp.logical_not(empty)
         p_cam = unproject(
-            intr, m.kf_kp_xy[kslots], m.kf_kp_depth[kslots])  # [NK, F, 3]
-        kf_T = SE3(m.kf_q[kslots][:, None, :], m.kf_t[kslots][:, None, :])
+            intr, bank(m.kf_kp_xy), bank(m.kf_kp_depth))  # [NK, F, 3]
+        kf_T = SE3(bank(m.kf_q)[:, None, :], bank(m.kf_t)[:, None, :])
         pts3d = kf_T.apply(p_cam).reshape(-1, 3)              # world frame
 
     match = knn2_ratio_match(
