@@ -71,6 +71,16 @@ def _rotated_selection_matrices() -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=1)
+def _used_selection_matrices():
+    """(W_used [30*256, U] int8, used_cols [U] int32): the selection
+    matrices restricted to the union of columns any bin references."""
+    W = _rotated_selection_matrices().reshape(
+        N_ANGLE_BINS * 256, _PATCH_S * _PATCH_S)
+    used = np.flatnonzero(np.any(W != 0, axis=0)).astype(np.int32)
+    return np.ascontiguousarray(W[:, used]), used
+
+
 @functools.lru_cache(maxsize=4)
 def _ic_moment_vectors(radius: int = 15) -> np.ndarray:
     """[S^2, 2] float32 — x- and y-weighted circular-disc weights over the
@@ -154,10 +164,24 @@ def bits_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     no gathers, no per-keypoint one-hot materialization.
     """
     n = patches.shape[0]
-    W = jnp.asarray(_rotated_selection_matrices()).reshape(
-        N_ANGLE_BINS * 256, _PATCH_S * _PATCH_S)      # [30*256, S^2] int8
+    W_used, used_cols = _used_selection_matrices()
+    # contraction restricted to the ~1180 of 1600 patch columns inside
+    # the pattern's radius-19 disc (the only ones any rotated bin ever
+    # samples): static column gather, 26% less MXU work on the largest
+    # matmul of the tracking step
+    p_used = patches[:, jnp.asarray(used_cols)]
+    # bf16 operands (values <= 255: ~0.2% rounding) with f32
+    # accumulation — the MXU fast path. CPU's dot thunk rejects bf16 at
+    # this shape, so there the operands are rounded THROUGH bf16 and the
+    # dot runs in f32: identical operand quantization + f32 accumulate,
+    # i.e. the same bits as the TPU path.
+    pq = p_used.astype(jnp.bfloat16)
+    Wq = jnp.asarray(W_used).astype(jnp.bfloat16)
+    if jax.default_backend() == "cpu":
+        pq = pq.astype(jnp.float32)
+        Wq = Wq.astype(jnp.float32)
     diff_all = jax.lax.dot_general(
-        patches.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        pq, Wq,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(n, N_ANGLE_BINS, 256)                   # I2 - I1 per bin
