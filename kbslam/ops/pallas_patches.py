@@ -113,3 +113,13 @@ def extract_patches_pallas(
             dimension_semantics=("arbitrary",)),
     )(level, byf, bxf, y0 - byf * _BH, x0 - bxf * _BW,
       *([stacked] * (4 * P)))
+
+
+# NOTE(perf, measured): a "quad-shift" variant (four pre-shifted pyramid
+# copies so each patch needs ONE (88, 128) block spec instead of this
+# kernel's four (48, 128) specs, with 2.75x smaller selection matmuls)
+# was built and timed on real pipeline keypoints: 0.826 ms including the
+# quad build vs 0.757 ms for this kernel, bit-identical output. With
+# block-locality-sorted keypoints the 2x2 window's copies are mostly
+# reused across consecutive grid steps, so fewer/fatter specs do not
+# help — the kernel is DMA/pipeline-bound at ~0.75 ms. Don't rebuild it.

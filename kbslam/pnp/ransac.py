@@ -141,22 +141,15 @@ def ransac_pnp(
     T0 = SE3(T_h.q[best], T_h.t[best]).normalize()
     best_inliers = inlier[best]
 
-    # polish on the inlier set (weights = inlier mask)
-    T = refine_pose(
-        T0, points3d, uv_obs, best_inliers.astype(jnp.float32), intr,
-        iters=cfg.refine_iters,
+    # polish on the inlier set, then — once the pose is good — on the
+    # sub-2px subset, which carries far less correspondence noise than
+    # the 8px RANSAC gate (falls back to the wide gate when too few
+    # survive). Both stages run in ONE fused loop (refine.py).
+    from kbslam.pnp.refine import refine_pose_two_stage
+    T = refine_pose_two_stage(
+        T0, points3d, uv_obs, best_inliers.astype(jnp.float32), valid,
+        intr, iters=cfg.refine_iters, wide_thr2=thr2,
     )
-
-    # second, tighter polish: once the pose is good, the sub-2px subset
-    # carries far less correspondence noise than the 8px RANSAC gate
-    # (falls back to the wide gate when too few survive)
-    r_mid, z_mid, _ = _residuals(T, points3d, uv_obs, intr)
-    err2_mid = jnp.sum(r_mid * r_mid, axis=-1)
-    tight = (err2_mid < 4.0) & (z_mid > 0) & valid
-    wide = (err2_mid < thr2) & (z_mid > 0) & valid
-    use_tight = jnp.sum(tight) >= 12
-    w2 = jnp.where(use_tight, tight, wide).astype(jnp.float32)
-    T = refine_pose(T, points3d, uv_obs, w2, intr, iters=cfg.refine_iters)
 
     # recount with the polished pose (reference 8 px gate for the ratio)
     r_fin, z_fin, _ = _residuals(T, points3d, uv_obs, intr)

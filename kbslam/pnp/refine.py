@@ -113,3 +113,53 @@ def refine_pose(
 
     q, t = jax.lax.fori_loop(0, iters, step, (T_init.q, T_init.t))
     return SE3(q, t)
+
+
+def refine_pose_two_stage(
+    T_init: SE3,
+    points3d: jnp.ndarray,
+    uv_obs: jnp.ndarray,
+    w_stage1: jnp.ndarray,
+    valid: jnp.ndarray,
+    intr: Intrinsics,
+    iters: int,
+    wide_thr2: float,
+    tight_thr2: float = 4.0,
+    min_tight: int = 12,
+    damping: float = 1e-6,
+) -> SE3:
+    """Two-stage GN refinement in ONE fori_loop: `iters` iterations with
+    w_stage1 (the RANSAC inlier mask), then — from the residuals already
+    computed at the stage boundary — reweight to the sub-`tight_thr2`
+    subset (falling back to the wide gate when fewer than `min_tight`
+    survive) and run `iters` more. Iterate-identical to two chained
+    refine_pose calls with the residual pass between them, but saves a
+    loop's fixed cost plus that extra residual pass."""
+
+    def step(i, carry):
+        q, t, w = carry
+        T = SE3(q, t)
+        r, z, pc = reprojection_residuals(T, points3d, uv_obs, intr)
+        err2 = jnp.sum(r * r, axis=-1)
+        tight = (err2 < tight_thr2) & (z > 0) & valid
+        wide = (err2 < wide_thr2) & (z > 0) & valid
+        w2 = jnp.where(jnp.sum(tight) >= min_tight, tight, wide).astype(
+            w_stage1.dtype)
+        w = jnp.where(i == iters, w2, w)
+        ww = w * (z > 1e-6)
+        J = pose_jacobian(pc, intr)
+        Jw = J * ww[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J) + damping * jnp.eye(6, dtype=t.dtype)
+        g = jnp.einsum("nij,ni->j", Jw, r)
+        delta = -chol_solve6(H, g)
+        T_new = SE3.exp(delta).compose(T).normalize()
+        ok = jnp.all(jnp.isfinite(delta))
+        return (
+            jnp.where(ok, T_new.q, T.q),
+            jnp.where(ok, T_new.t, T.t),
+            w,
+        )
+
+    q, t, _ = jax.lax.fori_loop(
+        0, 2 * iters, step, (T_init.q, T_init.t, w_stage1))
+    return SE3(q, t)
