@@ -45,7 +45,13 @@ def merge_ba_result(
     # landmark ids into the newest window row while the solve was in
     # flight, and a row-wise overwrite would orphan those observations.
     snap_rows = snapshot.kf_mp[slots]                       # [Wn, F]
-    merged_rows = jnp.where(snap_rows >= 0, ba_result.kf_mp[slots],
+    # "had a reference" means LIVE in the snapshot (id within the
+    # snapshot's allocation window): after a landmark-ring wrap a STALE
+    # id is also >= 0, BA leaves it untouched, and tracking may have
+    # re-fused a fresh id into that entry mid-solve — taking the BA row
+    # there would clobber the fresh id with the stale one.
+    snap_live = (snap_rows >= 0) & (snap_rows >= snapshot.num_mp - P)
+    merged_rows = jnp.where(snap_live, ba_result.kf_mp[slots],
                             current.kf_mp[slots])
     kf_mp = current.kf_mp.at[rows].set(merged_rows, mode="drop")
 

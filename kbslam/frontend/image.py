@@ -16,6 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# BT.601 luma weights (what cv::cvtColor BGR2GRAY applies) — shared by
+# the device path below and the host-side gray ingress (streaming.py)
+GRAY_WEIGHTS = (0.299, 0.587, 0.114)
+
+
 def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
     """[H, W, 3] uint8/float RGB -> [H, W] float32 grayscale.
 
@@ -23,7 +28,7 @@ def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
     which is the standard luma on the original RGB: 0.299 R + 0.587 G + 0.114 B.
     """
     rgb = rgb.astype(jnp.float32)
-    w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+    w = jnp.array(GRAY_WEIGHTS, dtype=jnp.float32)
     return rgb @ w
 
 

@@ -197,6 +197,23 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     )
     success = pnp.success & attempted
 
+    # reference-faithful inlier ratio: inliers / ALL ratio-test matches
+    # (VisualOdometry.cpp:91). The compacted PnP scores only the top-M
+    # matches; on match-rich frames (> max_correspondences survivors)
+    # the dropped tail must still count in both numerator and
+    # denominator or the policy's 0.4 gate sees a biased ratio.
+    from kbslam.geom.camera import project
+
+    pc_all = pnp.T_cw.apply(pts3d)
+    uv_all, z_all = project(intr, pc_all)
+    uv_obs_all = incidence_gather(match.best_idx, feats.xy)
+    err2_all = jnp.sum((uv_all - uv_obs_all) ** 2, axis=-1)
+    thr2 = cfg.pnp.reproj_threshold * cfg.pnp.reproj_threshold
+    inl_all = (err2_all < thr2) & (z_all > 0) & match.is_match
+    num_inliers_all = jnp.sum(inl_all.astype(jnp.int32))
+    ratio_all = num_inliers_all.astype(jnp.float32) / jnp.maximum(
+        num_matches.astype(jnp.float32), 1.0)
+
     last_kf_pose = SE3(m.kf_q[slot], m.kf_t[slot])
     if NK == 1:
         # reference chaining: T = kf.pose * T_cw^-1 (VisualOdometry.cpp:85-89)
@@ -215,7 +232,7 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
     # (VisualOdometry.cpp:102-103,146-150) — frames with match dropouts
     # do NOT advance the counter
     frames_since = state.frames_since_kf + attempted.astype(jnp.int32)
-    ratio_for_policy = jnp.where(success, pnp.inlier_ratio, 0.0)
+    ratio_for_policy = jnp.where(success, ratio_all, 0.0)
     add_kf = (
         kf_policy.should_add_keyframe(
             pose, last_kf_pose, frames_since, ratio_for_policy, cfg.policy
@@ -261,7 +278,7 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         added_kf=do_insert,
         inlier_ratio=ratio_for_policy,
         num_matches=num_matches,
-        num_inliers=pnp.num_inliers,
+        num_inliers=num_inliers_all,
         num_features=feats.count(),
     )
     return new_state, out

@@ -81,7 +81,7 @@ def ransac_pnp(
         any_both = jnp.any(both)
         pool = jnp.where(any_both, both, valid)
         # the Kabsch pool (valid & has-depth) is not prefix-packed even
-        # when `valid` is, so it keeps the packing sort (over N only)
+        # when `valid` is, so it takes the rank->index inverse-CDF path
         idx_k = _sample_valid_indices(key_b, pool, K - K_dlt, cfg.sample_size)
         idx_d = _sample_valid_indices(key_a, valid, K_dlt, cfg.sample_size,
                                       packed=valid_packed)

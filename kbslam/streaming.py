@@ -120,9 +120,13 @@ class ChunkedStream:
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
         if self.gray and rgb.ndim == 3:
-            rgb = (np.asarray(rgb, np.float32)
-                   @ np.array([0.299, 0.587, 0.114], np.float32)
-                   ).astype(np.uint8)
+            from kbslam.frontend.image import GRAY_WEIGHTS
+            # round (not truncate): keeps the u8 quantization within the
+            # documented 0.5 gray levels of the device float path
+            rgb = np.round(
+                np.asarray(rgb, np.float32)
+                @ np.array(GRAY_WEIGHTS, np.float32)
+            ).astype(np.uint8)
         self._host.append((rgb, depth, mask) if self.use_mask
                           else (rgb, depth))
         if len(self._host) == self.chunk:

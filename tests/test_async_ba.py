@@ -79,3 +79,36 @@ def test_merge_skips_overwritten_slots():
     np.testing.assert_allclose(np.asarray(merged.mp_pos[5]), [9.0, 9.0, 9.0])
     np.testing.assert_allclose(np.asarray(merged.mp_pos[6]),
                                np.asarray(current.mp_pos[6]))
+
+
+def test_merge_keeps_fresh_id_over_stale_snapshot_reference():
+    """After a landmark-ring wrap, a snapshot window entry can hold a
+    STALE id (>= 0 but below the snapshot's live window). BA leaves it
+    untouched; if tracking re-fused a FRESH id into that entry while the
+    solve was in flight, the merge must keep the fresh id — not restore
+    the stale one from the BA result."""
+    from kbslam.config import MapConfig, OrbConfig
+
+    mcfg = MapConfig(max_keyframes=4, max_map_points=8)
+    ocfg = OrbConfig(max_features=8, num_levels=1)
+    bacfg = BAConfig(window=3)
+    rng = np.random.default_rng(1)
+
+    snap = empty_map(mcfg, ocfg)
+    for i in range(3):
+        snap = insert_keyframe(
+            snap, fake_feats(rng), jnp.ones(8),
+            SE3.identity()._replace(t=jnp.array([float(i), 0, 0])))
+    # landmark ring (capacity 8) has wrapped: live ids are 2..9
+    snap = snap._replace(num_mp=jnp.int32(10))
+    # newest window KF: entry 0 references STALE id 1, entry 1 live id 5
+    snap = snap._replace(kf_mp=snap.kf_mp.at[2, 0].set(1).at[2, 1].set(5))
+    # BA pruned the live landmark 5; the stale entry is untouched
+    ba = snap._replace(kf_mp=snap.kf_mp.at[2, 1].set(-1))
+    # tracking re-fused FRESH id 10 into entry 0 while the solve ran
+    current = snap._replace(
+        kf_mp=snap.kf_mp.at[2, 0].set(10), num_mp=jnp.int32(11))
+
+    merged = merge_ba_result(current, snap, ba, bacfg)
+    assert int(merged.kf_mp[2, 0]) == 10  # fresh id kept
+    assert int(merged.kf_mp[2, 1]) == -1  # live entry takes BA's pruning

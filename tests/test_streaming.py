@@ -83,8 +83,11 @@ def test_gray_ingress_matches_gray_fed_per_frame_path():
     cfg = _cfg()
     seq = render_sequence(num_frames=9, height=120, width=160)
     intr = Intrinsics.from_matrix(seq.K)
-    luma = [(f.astype(np.float32)
-             @ np.array([0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
+    from kbslam.frontend.image import GRAY_WEIGHTS
+    # same rounding as ChunkedStream's gray ingress (round, not
+    # truncate — keeps u8 within 0.5 gray levels of the float path)
+    luma = [np.round(f.astype(np.float32)
+                     @ np.array(GRAY_WEIGHTS, np.float32)).astype(np.uint8)
             for f in seq.rgb]
 
     step = make_track_step(cfg, intr, use_mask=False, auto_key=True)
