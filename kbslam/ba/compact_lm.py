@@ -30,6 +30,8 @@ class CompactSolution(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     iterations: jnp.ndarray
+    accepted: jnp.ndarray    # LM steps that decreased cost (BriefReport's
+    # "successful steps" analogue, Optimizers.cpp:215)
 
 
 def _obs_terms(cam_q, cam_t, Xc, cp: CompactProblem, prob: BAProblem,
@@ -154,8 +156,13 @@ def solve_window_compact(
         return H_cc, b_c, H_pp, b_p, U, cost + r_d * r_d
 
     def lm_step(_, carry):
-        cam_q, cam_t, Xc, lam, cost, it, done = carry
-        H_cc, b_c, H_pp, b_p, U, _ = normal_equations(cam_q, cam_t, Xc)
+        cam_q, cam_t, Xc, lam, cost, ne, it, acc, done = carry
+        # normal equations are CACHED from the last accepted state:
+        # ~50% of LM iterations reject (measured), and a rejected step
+        # only needs a new damping factor on the same H/b — Ceres'
+        # evaluate-on-accept behavior. Recomputed under lax.cond below
+        # only when the proposal is accepted; bit-identical iterates.
+        H_cc, b_c, H_pp, b_p, U = ne
 
         def damp(H):
             diag = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -195,6 +202,10 @@ def solve_window_compact(
         cam_t = jnp.where(accept, cam_t_t, cam_t)
         Xc = jnp.where(accept, Xc_t, Xc)
         cost_out = jnp.where(accept, new_cost, cost)
+        ne = jax.lax.cond(
+            accept,
+            lambda: normal_equations(cam_q_t, cam_t_t, Xc_t)[:5],
+            lambda: ne)
         lam = jnp.where(
             done, lam,
             jnp.clip(jnp.where(accept, lam * cfg.lm_lambda_down,
@@ -203,12 +214,14 @@ def solve_window_compact(
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < 1e-6)) | (lam >= cfg.lm_max_lambda)
         it = jnp.where(done, it, it + 1)
-        return cam_q, cam_t, Xc, lam, cost_out, it, done
+        acc = acc + accept.astype(jnp.int32)
+        return cam_q, cam_t, Xc, lam, cost_out, ne, it, acc, done
 
     cost0 = _total_cost(prob.cam_q, prob.cam_t, cp.Xc, cp, prob, intr, cfg)
+    ne0 = normal_equations(prob.cam_q, prob.cam_t, cp.Xc)[:5]
     init = (prob.cam_q, prob.cam_t, cp.Xc,
-            jnp.float32(cfg.lm_init_lambda), cost0, jnp.int32(0),
-            jnp.bool_(False))
-    cam_q, cam_t, Xc, _, cost, it, _ = jax.lax.fori_loop(
+            jnp.float32(cfg.lm_init_lambda), cost0, ne0, jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False))
+    cam_q, cam_t, Xc, _, cost, _, it, acc, _ = jax.lax.fori_loop(
         0, cfg.max_iterations, lm_step, init)
-    return CompactSolution(cam_q, cam_t, Xc, cost0, cost, it)
+    return CompactSolution(cam_q, cam_t, Xc, cost0, cost, it, acc)

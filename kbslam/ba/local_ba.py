@@ -31,6 +31,7 @@ class BAStats(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     iterations: jnp.ndarray
+    accepted: jnp.ndarray   # LM steps that decreased cost
     num_pruned: jnp.ndarray
 
 
@@ -80,6 +81,7 @@ def _local_ba_impl(state, intr, cfg):
         initial_cost=sol.initial_cost,
         final_cost=sol.final_cost,
         iterations=sol.iterations,
+        accepted=sol.accepted,
         num_pruned=jnp.sum(drop.astype(jnp.int32)),
     )
     return state._replace(kf_q=kf_q, kf_t=kf_t, mp_pos=mp_pos, kf_mp=kf_mp), stats

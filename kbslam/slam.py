@@ -103,6 +103,7 @@ class SLAM:
                     initial_cost=float(s.initial_cost),
                     final_cost=float(s.final_cost),
                     iterations=int(s.iterations),
+                    accepted=int(s.accepted),
                     num_pruned=int(s.num_pruned),
                     wall_ms=(time.perf_counter() - tb) * 1e3,
                 )
@@ -148,6 +149,7 @@ class SLAM:
                     dict(initial_cost=float(s.initial_cost),
                          final_cost=float(s.final_cost),
                          iterations=int(s.iterations),
+                         accepted=int(s.accepted),
                          num_pruned=int(s.num_pruned),
                          wall_ms=None))
                 self._ba_inflight = None
@@ -211,6 +213,7 @@ class SLAM:
                 dict(initial_cost=float(s.initial_cost),
                      final_cost=float(s.final_cost),
                      iterations=int(s.iterations),
+                     accepted=int(s.accepted),
                      num_pruned=int(s.num_pruned),
                      wall_ms=None))
             self._ba_inflight = None
