@@ -214,7 +214,8 @@ def main():
         jax.block_until_ready(stats)
         ba_times.append((time.perf_counter() - t0) / K_BA)
     ba_ms = float(np.min(ba_times) * 1e3)
-    _log(f"ba: {ba_ms:.2f} ms/solve, last iters={int(stats.iterations)}")
+    _log(f"ba: {ba_ms:.2f} ms/solve, last iters={int(stats.iterations)}, "
+         f"accepted={int(stats.accepted)}")
 
     result = {
         "metric": "tracked_fps_640x480_single_stream",
