@@ -154,6 +154,13 @@ def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
                          Hpp_inv[jnp.clip(mp_id, 0)] * active[..., None, None])
         S_diag = H_cc - jnp.einsum("cfkl,cfml->ckm", HiU, U)
         S_diag = S_diag + (1.0 - maskc)[:, None, None] * jnp.eye(6)
+        # additive floor: a FREE camera with zero active observations
+        # (all chi2-gated/pruned, or a culled keyframe re-entering the
+        # window) has an exactly-zero block; without the floor _inv6x6
+        # returns inf/NaN and one poisoned block NaNs the psum'd PCG dot
+        # products for EVERY camera (the local solver's damp() clips
+        # diagonals the same way)
+        S_diag = S_diag + 1e-8 * jnp.eye(6)
         M_inv = _inv6x6(S_diag)
 
         def S_apply(x):  # x: [c, 6] local shard of cameras

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from kbslam.config import BAConfig
 from kbslam.geom.camera import Intrinsics
 from kbslam.mapping.state import MapState
-from kbslam.ba.lm import BASolution, solve_window
 from kbslam.ba.problem import BAProblem, build_problem
 
 

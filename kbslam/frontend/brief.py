@@ -111,8 +111,16 @@ def extract_patches(
     n = xy.shape[0]
     base = jnp.round(xy).astype(jnp.int32)
     hw = level_dims[level]
-    x0 = jnp.clip(base[:, 0] - _PATCH_R, 0, hw[:, 1] - _PATCH_S)
-    y0 = jnp.clip(base[:, 1] - _PATCH_R, 0, hw[:, 0] - _PATCH_S)
+    # upper clamp floored at 0: when a pyramid level is SMALLER than the
+    # patch (tiny frames, deep levels), hw - S is negative and
+    # jnp.clip(x, 0, neg) returns neg — a negative patch origin drives
+    # negative Pallas block indices (out-of-bounds DMA on TPU). Such
+    # levels produce no valid keypoints (the 31-px border mask empties
+    # them), so origin 0 is a safe don't-care.
+    x0 = jnp.clip(base[:, 0] - _PATCH_R, 0,
+                  jnp.maximum(hw[:, 1] - _PATCH_S, 0))
+    y0 = jnp.clip(base[:, 1] - _PATCH_R, 0,
+                  jnp.maximum(hw[:, 0] - _PATCH_S, 0))
     # materialize the stacked pyramid: otherwise XLA fuses the pyramid/blur
     # producers into the 3000 slices and recomputes them per patch
     stacked = jax.lax.optimization_barrier(stacked)

@@ -53,11 +53,14 @@ class Features(NamedTuple):
 
 
 def level_quotas(cfg: OrbConfig) -> List[int]:
-    """Distribute the feature budget across levels like cv::ORB: geometric
-    decay with ratio 1/scale, remainder to the last level; sums to
-    cfg.max_features so concatenated shapes stay static."""
+    """Distribute the DETECTION budget across levels like cv::ORB:
+    geometric decay with ratio 1/scale, remainder to the last level.
+    The budget is cfg.num_features (the cv::ORB::create(3000, ...)
+    parity knob); quotas sum to min(num_features, max_features), and
+    detect_and_compute pads the concatenation with invalid lanes up to
+    cfg.max_features so downstream shapes stay static/MXU-aligned."""
     factor = 1.0 / cfg.scale_factor
-    n = cfg.max_features
+    n = min(cfg.num_features, cfg.max_features)
     ndesired = n * (1 - factor) / (1 - factor ** cfg.num_levels)
     quotas = []
     for lv in range(cfg.num_levels - 1):
@@ -147,6 +150,16 @@ def detect_and_compute(
     levels = jnp.concatenate(lvl_parts, axis=0)
     valid = jnp.concatenate(val_parts, axis=0)
     resp = jnp.concatenate(resp_parts, axis=0)
+
+    # pad the num_features detection budget up to the max_features
+    # static capacity with invalid lanes (quotas sum to num_features;
+    # see level_quotas)
+    pad = cfg.max_features - xy_lvl.shape[0]
+    if pad > 0:
+        xy_lvl = jnp.pad(xy_lvl, ((0, pad), (0, 0)))
+        levels = jnp.pad(levels, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        resp = jnp.pad(resp, (0, pad), constant_values=_NEG)
 
     # block-locality sort: order keypoints by (level, 48-row block,
     # 128-col block) so the Pallas patch kernel's consecutive grid steps

@@ -21,6 +21,7 @@ structure match the reference.
 from __future__ import annotations
 
 import json
+import time
 import struct
 import threading
 from typing import Optional, Tuple
@@ -120,9 +121,19 @@ class ZMQCamera:
     # Camera::GrabFrames (Camera.cpp:95-106)
     def grab_frames(self, timeout: Optional[float] = None
                     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Blocks for the next frame; None means END OF STREAM (the
+        reference's empty-message marker) — a publisher stall raises
+        TimeoutError instead so callers can distinguish the two (the
+        reference's condvar wait simply blocks forever on a stall)."""
+        deadline = time.monotonic() + (timeout or self._timeout_s)
         with self._lock:
-            if self._frames is None and not self._eof:
-                self._lock.wait(timeout or self._timeout_s)
+            while self._frames is None and not self._eof:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError(
+                        f"no frame within {timeout or self._timeout_s:.1f}s "
+                        "and no end-of-stream marker")
+                self._lock.wait(remaining)
             frames = self._frames
             self._frames = None
             return frames

@@ -21,9 +21,22 @@ import numpy as np
 
 from kbslam.config import SLAMConfig
 from kbslam.geom.camera import Intrinsics
-from kbslam.geom.se3 import quat_to_matrix
 from kbslam.ba.local_ba import make_local_ba
 from kbslam.pipeline import init_state, make_track_step
+
+
+def _quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
+    """Host-side (w, x, y, z) -> 3x3 rotation. Kept in numpy: the jnp
+    form costs a full device dispatch per frame, and dispatches floor at
+    ~25 ms wall on tunneled TPU runtimes (CLAUDE.md #11)."""
+    w, x, y, z = (float(v) for v in q)
+    n = (w * w + x * x + y * y + z * z) or 1.0
+    s2 = 2.0 / n
+    return np.array([
+        [1 - s2 * (y * y + z * z), s2 * (x * y - w * z), s2 * (x * z + w * y)],
+        [s2 * (x * y + w * z), 1 - s2 * (x * x + z * z), s2 * (y * z - w * x)],
+        [s2 * (x * z - w * y), s2 * (y * z + w * x), 1 - s2 * (x * x + y * y)],
+    ])
 
 
 class SLAM:
@@ -68,21 +81,37 @@ class SLAM:
         else:
             self._cull = None
         self.state = init_state(config)
+        self._ones_mask = None  # cached device buffer for mask-less callers
         self._frame = 0
         self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
         self.frame_poses: List[np.ndarray] = []  # per input frame (held on failure)
         self.diagnostics: List[dict] = []
         self.ba_stats: List[dict] = []
 
+    def _record_ba_stats(self, stats, wall_ms=None):
+        s = jax.device_get(stats)
+        self.ba_stats.append(dict(
+            initial_cost=float(s.initial_cost),
+            final_cost=float(s.final_cost),
+            iterations=int(s.iterations),
+            accepted=int(s.accepted),
+            num_pruned=int(s.num_pruned),
+            wall_ms=wall_ms,
+        ))
+
     def process(self, rgb, depth, mask=None) -> dict:
         """Track one frame; runs local BA when a keyframe was inserted."""
         args = [self.state, jnp.asarray(rgb), jnp.asarray(depth)]
         if self.use_mask:
-            args.append(
-                jnp.asarray(mask)
-                if mask is not None
-                else jnp.ones(rgb.shape[:2], jnp.uint8)
-            )
+            if mask is not None:
+                args.append(jnp.asarray(mask))
+            else:
+                # constant tensor: upload once, not 307 KB/frame over a
+                # 20-60 MB/s link
+                if (self._ones_mask is None
+                        or self._ones_mask.shape != rgb.shape[:2]):
+                    self._ones_mask = jnp.ones(rgb.shape[:2], jnp.uint8)
+                args.append(self._ones_mask)
         t0 = time.perf_counter()
         self.state, out = self._step(*args)
         o = jax.device_get(out)
@@ -97,23 +126,14 @@ class SLAM:
             tb = time.perf_counter()
             new_map, stats = self._ba(self.state.map)
             self.state = self.state._replace(map=new_map)
-            s = jax.device_get(stats)
-            self.ba_stats.append(
-                dict(
-                    initial_cost=float(s.initial_cost),
-                    final_cost=float(s.final_cost),
-                    iterations=int(s.iterations),
-                    accepted=int(s.accepted),
-                    num_pruned=int(s.num_pruned),
-                    wall_ms=(time.perf_counter() - tb) * 1e3,
-                )
-            )
+            self._record_ba_stats(stats,
+                                  wall_ms=(time.perf_counter() - tb) * 1e3)
             ran_ba = True
         elif self.ba_mode == "async":
             ran_ba = self._async_ba_tick(bool(o.added_kf))
 
         T = np.eye(4)
-        T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(o.pose_q)))
+        T[:3, :3] = _quat_to_matrix_np(np.asarray(o.pose_q))
         T[:3, 3] = o.pose_t
         if bool(o.success) or self._frame == 0:
             self.trajectory.append(T)
@@ -144,14 +164,7 @@ class SLAM:
             if all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
                 self.state = self.state._replace(
                     map=self._merge(self.state.map, snapshot, result))
-                s = jax.device_get(stats)
-                self.ba_stats.append(
-                    dict(initial_cost=float(s.initial_cost),
-                         final_cost=float(s.final_cost),
-                         iterations=int(s.iterations),
-                         accepted=int(s.accepted),
-                         num_pruned=int(s.num_pruned),
-                         wall_ms=None))
+                self._record_ba_stats(stats)
                 self._ba_inflight = None
                 merged = True
         if added_kf and self._ba_inflight is None:
@@ -208,14 +221,7 @@ class SLAM:
             jax.block_until_ready(stats)
             self.state = self.state._replace(
                 map=self._merge(self.state.map, snapshot, result))
-            s = jax.device_get(stats)
-            self.ba_stats.append(
-                dict(initial_cost=float(s.initial_cost),
-                     final_cost=float(s.final_cost),
-                     iterations=int(s.iterations),
-                     accepted=int(s.accepted),
-                     num_pruned=int(s.num_pruned),
-                     wall_ms=None))
+            self._record_ba_stats(stats)
             self._ba_inflight = None
 
     # --- map accessors (Map::GetKeyFramesPositions / GetMapPointsPositions,

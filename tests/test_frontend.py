@@ -88,7 +88,10 @@ def test_pack_unpack_bits_roundtrip():
 def test_level_quotas_sum():
     cfg = OrbConfig()
     q = level_quotas(cfg)
-    assert sum(q) == cfg.max_features
+    # quotas distribute the cv::ORB detection budget (num_features =
+    # 3000, the reference parity knob); detect_and_compute pads up to
+    # max_features (static capacity) with invalid lanes
+    assert sum(q) == min(cfg.num_features, cfg.max_features)
     assert all(a > 0 for a in q)
     assert q[0] > q[-1]  # geometric decay
 
