@@ -40,7 +40,20 @@ def main(argv=None):
     ap.add_argument("--dist", default=None,
                     help="comma-separated k1,k2,p1,p2,k3 lens distortion "
                     "(reference DistCoeffs; zmq handshake value used if unset)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="micro-batch N frames per device dispatch via the "
+                    "chunked streaming executor (VO fast path; requires "
+                    "--ba off). 0 = per-frame dispatch")
+    ap.add_argument("--gray", action="store_true",
+                    help="host-side grayscale ingress (1.6x fewer upload "
+                    "bytes; only with --chunk)")
     args = ap.parse_args(argv)
+    if args.chunk and args.ba != "off":
+        ap.error("--chunk is the VO fast path: use it with --ba off")
+    if args.gray and not args.chunk:
+        ap.error("--gray requires --chunk")
+    if args.chunk and (args.mask or args.viewer != "none"):
+        ap.error("--chunk supports neither --mask nor --viewer yet")
 
     from kbslam.config import DEFAULT_CONFIG
     from kbslam.slam import SLAM
@@ -101,6 +114,10 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
+    if args.chunk:
+        _run_chunked(args, cfg, K, frames, dist)
+        return
+
     mode = {"on": "on_keyframe", "async": "async", "off": "disabled"}[args.ba]
     slam = SLAM(cfg, K, ba_mode=mode, use_mask=args.mask, dist=dist)
     if args.resume:
@@ -160,6 +177,67 @@ def main(argv=None):
             for i, T in enumerate(est):
                 from scipy.spatial.transform import Rotation
 
+                q = Rotation.from_matrix(T[:3, :3]).as_quat()
+                f.write(f"{i} {T[0,3]} {T[1,3]} {T[2,3]} "
+                        f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
+    print(json.dumps(summary))
+
+
+def _run_chunked(args, cfg, K, frames, dist):
+    """VO via the chunked streaming executor (kbslam/streaming.py):
+    N frames per device dispatch with double-buffered uploads — the
+    throughput ingress mode bench.py measures, on the CLI surface."""
+    import time
+
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.pipeline import init_state
+    from kbslam.slam import _quat_to_matrix_np
+    from kbslam.streaming import ChunkedStream
+
+    intr = Intrinsics.from_matrix(K, dist=dist)
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=args.chunk,
+                       gray=args.gray)
+    results, gts = [], []
+    n = 0
+    t0 = time.perf_counter()
+    for rgb, depth, mask, gt in frames:
+        if n >= args.frames:
+            break
+        results += cs.feed(rgb, depth)
+        if gt is not None:
+            gts.append(gt)
+        n += 1
+    results += cs.flush()
+    wall = time.perf_counter() - t0
+
+    est = []
+    for r in results:
+        T = np.eye(4)
+        T[:3, :3] = _quat_to_matrix_np(r["pose_q"])
+        T[:3, 3] = r["pose_t"]
+        est.append(T)
+    est = np.stack(est) if est else np.zeros((0, 4, 4))
+    summary = dict(
+        frames=n,
+        success=sum(r["success"] for r in results),
+        keyframes=int(np.sum([r["added_kf"] for r in results])),
+        chunk=args.chunk,
+        gray_ingress=bool(args.gray),
+        streaming_fps=round(n / wall, 1) if wall > 0 else None,
+    )
+    if args.eval and len(gts) == n and n > 1:
+        from kbslam.eval.trajectory import ate_rmse, rpe
+
+        gt_arr = np.stack(gts)
+        summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
+        t_err, r_err = rpe(est, gt_arr)
+        summary["rpe_trans_m"] = t_err
+        summary["rpe_rot_rad"] = r_err
+    if args.save_trajectory:
+        from scipy.spatial.transform import Rotation
+
+        with open(args.save_trajectory, "w") as f:
+            for i, T in enumerate(est):
                 q = Rotation.from_matrix(T[:3, :3]).as_quat()
                 f.write(f"{i} {T[0,3]} {T[1,3]} {T[2,3]} "
                         f"{q[0]} {q[1]} {q[2]} {q[3]}\n")

@@ -138,6 +138,24 @@ def test_cli_synthetic_smoke(capsys):
     assert "ate_rmse_m" in s
 
 
+def test_cli_chunked_streaming_path(capsys):
+    """--chunk routes frames through the chunked streaming executor
+    (kbslam/streaming.py) with the same eval surface."""
+    from kbslam.cli import main
+
+    main(["--source", "synthetic", "--frames", "9", "--width", "160",
+          "--height", "120", "--ba", "off", "--chunk", "4", "--gray",
+          "--eval"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    s = json.loads(out)
+    assert s["frames"] == 9
+    assert s["chunk"] == 4 and s["gray_ingress"]
+    assert s["success"] >= 7
+    assert "ate_rmse_m" in s
+
+
 def test_tum_associate_one_to_one():
     """Jittery rgb timestamps must not pair two rgb frames with the same
     depth frame (standard TUM associate.py is one-to-one)."""
