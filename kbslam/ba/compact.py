@@ -33,6 +33,8 @@ class CompactProblem(NamedTuple):
     obs_w: jnp.ndarray       # [O] int32 window-camera index
     obs_uv: jnp.ndarray      # [O, 2]
     obs_wz: jnp.ndarray      # [O] depth loss scale
+    obs_zmeas: jnp.ndarray   # [O] measured keypoint depth (m)
+    obs_wd: jnp.ndarray      # [O] depth-residual weight 1/sigma^2 (0 = off)
     obs_l: jnp.ndarray       # [O] int32 compact landmark id (L = padding)
     # landmarks, capacity L
     uniq_global: jnp.ndarray # [L] int32 global landmark id (-1 = padding)
@@ -58,6 +60,8 @@ def compact_problem(prob: BAProblem, mp_pos: jnp.ndarray,
     obs_w = w_flat[order]
     obs_uv = prob.obs_uv.reshape(WF, 2)[order]
     obs_wz = jnp.where(obs_valid, prob.w_z.reshape(-1)[order], 0.0)
+    obs_zmeas = jnp.where(obs_valid, prob.z_meas.reshape(-1)[order], 0.0)
+    obs_wd = jnp.where(obs_valid, prob.w_d.reshape(-1)[order], 0.0)
     gids = jnp.where(obs_valid, mp_flat[order], P)     # [O] global ids
 
     # landmark compaction: sort ids, mark firsts, rank by prefix sum
@@ -91,6 +95,8 @@ def compact_problem(prob: BAProblem, mp_pos: jnp.ndarray,
         obs_w=obs_w,
         obs_uv=obs_uv,
         obs_wz=obs_wz,
+        obs_zmeas=obs_zmeas,
+        obs_wd=obs_wd,
         obs_l=jnp.where(obs_valid, obs_l, L),
         uniq_global=uniq_global,
         Xc=Xc,

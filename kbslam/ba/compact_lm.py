@@ -36,7 +36,10 @@ class CompactSolution(NamedTuple):
 
 def _obs_terms(cam_q, cam_t, Xc, cp: CompactProblem, prob: BAProblem,
                intr: Intrinsics, cfg: BAConfig):
-    """Residuals/weights/Jacobian ingredients on the [O] observation axis."""
+    """Residuals/weights/Jacobian ingredients on the [O] observation
+    axis. With cfg.depth_residuals the residual carries a third row
+    (z_cam - z_meas, sigma-whitened Huber — see BAConfig); r/w are then
+    [O, 3]-shaped with per-row weights."""
     W = cam_q.shape[0]
     R_cw = quat_to_matrix(quat_conj(cam_q))            # [W, 3, 3]
     # per-obs camera data via tiny one-hot matmuls (exact f32)
@@ -56,7 +59,17 @@ def _obs_terms(cam_q, cam_t, Xc, cp: CompactProblem, prob: BAProblem,
     w_irls = cp.obs_wz * jnp.minimum(1.0, d / n) * cp.obs_valid
     rho = jnp.where(n <= d, n2, 2.0 * d * n - d * d)
     cost = jnp.sum(cp.obs_wz * rho * cp.obs_valid)
-    return r, z, pc, X_o, Rcw_o, w_irls, cost
+    w_rows = jnp.stack([w_irls, w_irls], axis=-1)      # [O, R]
+    if cfg.depth_residuals:
+        r_z = z - cp.obs_zmeas
+        rw = jnp.abs(jnp.sqrt(cp.obs_wd) * r_z)
+        w_hub = jnp.minimum(1.0, d / jnp.maximum(rw, 1e-18))
+        rho_d = jnp.where(rw <= d, rw * rw, 2.0 * d * rw - d * d)
+        cost = cost + jnp.sum(rho_d * cp.obs_valid)
+        w_d_irls = cp.obs_wd * w_hub * cp.obs_valid
+        r = jnp.concatenate([r, r_z[:, None]], axis=-1)
+        w_rows = jnp.concatenate([w_rows, w_d_irls[:, None]], axis=-1)
+    return r, z, pc, X_o, Rcw_o, w_rows, cost
 
 
 def _anchor_terms(cam_q, cam_t, Xc, cp: CompactProblem, prob: BAProblem,
@@ -110,14 +123,20 @@ def solve_window_compact(
             ],
             axis=-2,
         )                                              # [O, 2, 3]
+        if cfg.depth_residuals:
+            # depth row: d(z_cam)/d(pc) = (0,0,1); the shared einsums
+            # below then emit R_cw[2] / [-R_cw[2] | (R_cw [X]x)[2]]
+            row_z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                     z.shape + (3,))[:, None, :]
+            J_proj = jnp.concatenate([J_proj, row_z], axis=-2)  # [O, 3, 3]
         J_pt = jnp.einsum("oab,obc->oac", J_proj, Rcw_o)
         J_cam = jnp.concatenate(
             [-J_pt, jnp.einsum("oab,obc->oac", J_pt, cross_matrix(X_o))],
-            axis=-1)                                   # [O, 2, 6]
+            axis=-1)                                   # [O, R, 6]
 
-        # camera-side accumulations (tiny: W targets)
-        Hcc_o = jnp.einsum("ori,o,orj->oij", J_cam, w, J_cam).reshape(O, 36)
-        bc_o = -jnp.einsum("ori,o,or->oi", J_cam, w, r)
+        # camera-side accumulations (tiny: W targets); w is per-ROW
+        Hcc_o = jnp.einsum("ori,or,orj->oij", J_cam, w, J_cam).reshape(O, 36)
+        bc_o = -jnp.einsum("ori,or,or->oi", J_cam, w, r)
         cam_acc = incidence_apply(cp.obs_w, W,
                                   jnp.concatenate([Hcc_o, bc_o], axis=1),
                                   exact=True)
@@ -125,8 +144,8 @@ def solve_window_compact(
         b_c = cam_acc[:, 36:]
 
         # landmark-side accumulations: [L, 9 + 3]
-        Hp_o = jnp.einsum("ori,o,orj->oij", J_pt, w, J_pt).reshape(O, 9)
-        bp_o = -jnp.einsum("ori,o,or->oi", J_pt, w, r)
+        Hp_o = jnp.einsum("ori,or,orj->oij", J_pt, w, J_pt).reshape(O, 9)
+        bp_o = -jnp.einsum("ori,or,or->oi", J_pt, w, r)
         lm_acc = incidence_apply(cp.obs_l, L,
                                  jnp.concatenate([Hp_o, bp_o], axis=1),
                                  exact=True)
@@ -134,7 +153,7 @@ def solve_window_compact(
         b_p = lm_acc[:, 9:]
 
         # camera-landmark coupling: [L*W, 18] -> [L, W, 6, 3]
-        U_o = jnp.einsum("ori,o,orj->oij", J_cam, w, J_pt).reshape(O, 18)
+        U_o = jnp.einsum("ori,or,orj->oij", J_cam, w, J_pt).reshape(O, 18)
         U = incidence_apply(lw_ids, L * W, U_o, exact=True).reshape(L, W, 6, 3)
 
         # depth prior (Optimizers.cpp:181-189)

@@ -75,6 +75,22 @@ def _huber_terms(r, prob: BAProblem, cfg: BAConfig):
     return w_irls, cost
 
 
+def _depth_terms(z, prob: BAProblem, cfg: BAConfig):
+    """Per-observation RGB-D depth residual pieces (see BAConfig
+    .depth_residuals): unwhitened residual r_z = z_cam - z_meas, IRLS
+    weight w_d * huber'(whitened), robust cost. w_d already encodes
+    1/sigma^2 and is zero for gated/missing/disabled rows."""
+    r_z = z - prob.z_meas
+    sqrt_wd = jnp.sqrt(prob.w_d)
+    rw = jnp.abs(sqrt_wd * r_z)
+    d = cfg.huber_delta
+    w_hub = jnp.minimum(1.0, d / jnp.maximum(rw, 1e-18))
+    rho = jnp.where(rw <= d, rw * rw, 2.0 * d * rw - d * d)
+    cost = jnp.sum(rho * prob.active)
+    w_irls_d = prob.w_d * w_hub * prob.active
+    return r_z, w_irls_d, cost
+
+
 def _anchor_terms(cam_q, cam_t, mp_pos, prob: BAProblem, cfg: BAConfig):
     """Depth-prior residual r_d = (1/sigma) (z_cam0(X_a) - z0)."""
     has = prob.anchor_mp >= 0
@@ -89,8 +105,11 @@ def _anchor_terms(cam_q, cam_t, mp_pos, prob: BAProblem, cfg: BAConfig):
 
 
 def _total_cost(cam_q, cam_t, mp_pos, prob, intr, cfg):
-    _, _, _, r = _project_terms(cam_q, cam_t, mp_pos, prob, intr)
+    _, _, z, r = _project_terms(cam_q, cam_t, mp_pos, prob, intr)
     _, cost = _huber_terms(r, prob, cfg)
+    if cfg.depth_residuals:
+        _, _, cost_d = _depth_terms(z, prob, cfg)
+        cost = cost + cost_d
     _, _, _, r_d, _ = _anchor_terms(cam_q, cam_t, mp_pos, prob, cfg)
     return cost + r_d * r_d
 
@@ -149,21 +168,35 @@ def solve_window(
             ],
             axis=-2,
         )
+        w_rows = jnp.stack([w_irls, w_irls], axis=-1)         # [W, F, R]
+        if cfg.depth_residuals:
+            # third residual row: depth z_cam - z_meas. Its d/d(pc) row
+            # is (0, 0, 1), so the shared J_pt/J_cam einsums below emit
+            # the correct R_cw[2] / [-R_cw[2] | (R_cw [X]x)[2]] rows.
+            r_z, w_irls_d, cost_d = _depth_terms(z, prob, cfg)
+            cost = cost + cost_d
+            row_z = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0]), z.shape + (3,))[..., None, :]
+            J_proj = jnp.concatenate([J_proj, row_z], axis=-2)
+            r = jnp.concatenate([r, r_z[..., None]], axis=-1)
+            w_rows = jnp.concatenate([w_rows, w_irls_d[..., None]], axis=-1)
         R_cw = quat_to_matrix(quat_conj(cam_q))               # [W, 3, 3]
         # d(pc)/d(delta_cam) with left-mult update T <- exp(d) T:
         #   [-R_cw | R_cw [X]x] ;  d(pc)/dX = R_cw
-        J_pt = jnp.einsum("wfab,wbc->wfac", J_proj, R_cw)     # [W, F, 2, 3]
+        J_pt = jnp.einsum("wfab,wbc->wfac", J_proj, R_cw)     # [W, F, R, 3]
         Xx = cross_matrix(X)                                  # [W, F, 3, 3]
         J_cam_rot = jnp.einsum("wfab,wfbc->wfac", J_pt, Xx)   # J_proj R [X]x
-        J_cam = jnp.concatenate([-J_pt, J_cam_rot], axis=-1)  # [W, F, 2, 6]
+        J_cam = jnp.concatenate([-J_pt, J_cam_rot], axis=-1)  # [W, F, R, 6]
 
-        # weighted accumulations
-        H_cc = jnp.einsum("wfri,wf,wfrj->wij", J_cam, w_irls, J_cam)
-        b_c = -jnp.einsum("wfri,wf,wfr->wi", J_cam, w_irls, r)
+        # weighted accumulations (per-ROW weights: reprojection rows
+        # carry the Huber x depth-scale IRLS weight, the depth row its
+        # own sigma-whitened Huber weight)
+        H_cc = jnp.einsum("wfri,wfr,wfrj->wij", J_cam, w_rows, J_cam)
+        b_c = -jnp.einsum("wfri,wfr,wfr->wi", J_cam, w_rows, r)
 
-        Hp_obs = jnp.einsum("wfri,wf,wfrj->wfij", J_pt, w_irls, J_pt)
-        bp_obs = -jnp.einsum("wfri,wf,wfr->wfi", J_pt, w_irls, r)
-        U_obs = jnp.einsum("wfri,wf,wfrj->wfij", J_cam, w_irls, J_pt)  # [W,F,6,3]
+        Hp_obs = jnp.einsum("wfri,wfr,wfrj->wfij", J_pt, w_rows, J_pt)
+        bp_obs = -jnp.einsum("wfri,wfr,wfr->wfi", J_pt, w_rows, r)
+        U_obs = jnp.einsum("wfri,wfr,wfrj->wfij", J_cam, w_rows, J_pt)  # [W,F,6,3]
 
         H_pp = jnp.zeros((P, 3, 3)).at[obs_p].add(
             Hp_obs.reshape(-1, 3, 3), mode="drop")

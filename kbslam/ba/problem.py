@@ -30,6 +30,9 @@ class BAProblem(NamedTuple):
     mp_id: jnp.ndarray       # [W, F] landmark ids (-1 none)
     active: jnp.ndarray      # [W, F] obs participates in the solve
     w_z: jnp.ndarray         # [W, F] depth loss scale (construction-time)
+    z_meas: jnp.ndarray      # [W, F] measured keypoint depth (m; 0 = none)
+    w_d: jnp.ndarray         # [W, F] depth-residual weight 1/sigma^2
+    # (0 when cfg.depth_residuals is off, depth missing, or gated out)
     total_obs: jnp.ndarray   # [P] per-landmark obs count in window (pre-gate)
     inlier_obs: jnp.ndarray  # [P] per-landmark gated-in count
     touched: jnp.ndarray     # [P] landmark appears in the window
@@ -71,6 +74,23 @@ def build_problem(state: MapState, intr: Intrinsics, cfg: BAConfig) -> BAProblem
     active = has_mp & in_front & gated_in
     w_z = 1.0 / (cfg.loss_alpha + cfg.loss_beta * z * z)
 
+    # RGB-D depth residuals (deliberate improvement over the reference,
+    # which uses measured depth only through ONE anchor residual: on
+    # coplanar scenes the reprojection-only objective has a near-null
+    # pose/plane valley — its minimum sits tens of mm from the truth,
+    # measured — and per-observation depth residuals with a quadratic
+    # sensor sigma remove the ambiguity. cfg.depth_residuals=False
+    # restores the strict reference objective.)
+    z_meas = state.kf_kp_depth[slots]
+    if cfg.depth_residuals:
+        sigma = jnp.maximum(cfg.depth_res_sigma0 * z_meas * z_meas,
+                            cfg.depth_res_sigma_min)
+        whitened0 = jnp.abs(z - z_meas) / sigma  # at construction poses
+        d_ok = active & (z_meas > 0.0) & (whitened0 <= cfg.depth_res_gate)
+        w_d = jnp.where(d_ok, 1.0 / (sigma * sigma), 0.0)
+    else:
+        w_d = jnp.zeros_like(z_meas)
+
     # pruning counts (Optimizers.cpp:130-155): total counts every window
     # obs of the landmark; inliers only those passing both gates
     safe_id = jnp.where(has_mp, mp_id, P)
@@ -101,6 +121,8 @@ def build_problem(state: MapState, intr: Intrinsics, cfg: BAConfig) -> BAProblem
         mp_id=mp_id,
         active=active,
         w_z=w_z,
+        z_meas=z_meas,
+        w_d=w_d,
         total_obs=total_obs,
         inlier_obs=inlier_obs,
         touched=touched,

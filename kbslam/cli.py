@@ -16,6 +16,20 @@ import numpy as np
 
 
 def main(argv=None):
+    # persistent XLA compile cache: every CLI invocation is a fresh
+    # process, and first compiles through the tunneled TPU runtime cost
+    # minutes (CLAUDE.md gotcha #9) — cache them across runs
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/kbslam_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     ap = argparse.ArgumentParser("kbslam")
     ap.add_argument("--source", default="synthetic")
     ap.add_argument("--frames", type=int, default=100)
@@ -42,18 +56,23 @@ def main(argv=None):
                     "(reference DistCoeffs; zmq handshake value used if unset)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="micro-batch N frames per device dispatch via the "
-                    "chunked streaming executor (VO fast path; requires "
-                    "--ba off). 0 = per-frame dispatch")
+                    "chunked streaming executor. Works with --ba off (VO) "
+                    "and --ba async (concurrent chunk-late local BA). "
+                    "0 = per-frame dispatch")
     ap.add_argument("--gray", action="store_true",
                     help="host-side grayscale ingress (1.6x fewer upload "
                     "bytes; only with --chunk)")
+    ap.add_argument("--viewer-every", type=int, default=0,
+                    help="decimate viewer updates to every Nth frame "
+                    "(0 = every frame on the per-frame path, once per "
+                    "chunk on the chunked path)")
     args = ap.parse_args(argv)
-    if args.chunk and args.ba != "off":
-        ap.error("--chunk is the VO fast path: use it with --ba off")
+    if args.chunk and args.ba == "on":
+        ap.error("--chunk batches frames per dispatch, so synchronous "
+                 "per-keyframe BA cannot interleave: use --ba async "
+                 "(chunk-late concurrent BA) or --ba off")
     if args.gray and not args.chunk:
         ap.error("--gray requires --chunk")
-    if args.chunk and (args.mask or args.viewer != "none"):
-        ap.error("--chunk supports neither --mask nor --viewer yet")
 
     from kbslam.config import DEFAULT_CONFIG
     from kbslam.slam import SLAM
@@ -85,7 +104,16 @@ def main(argv=None):
 
         def _gen():
             while True:
-                f = cam.grab_frames()
+                try:
+                    f = cam.grab_frames()
+                except TimeoutError as e:
+                    # publisher stall: end the stream gracefully so the
+                    # accumulated trajectory/summary is still reported
+                    # (the reference would block forever in GrabFrames;
+                    # crashing mid-run would lose everything)
+                    print(f"kbslam: camera timeout ({e}); ending stream",
+                          file=sys.stderr)
+                    return
                 if f is None:
                     return
                 yield f[0], f[1], f[2], None
@@ -164,6 +192,10 @@ def main(argv=None):
 
         gt_arr = np.stack(gts)
         summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
+        if mode != "disabled":
+            refn = slam.refined_trajectory()
+            summary["ate_rmse_refined_m"] = ate_rmse(refn[:, :3, 3],
+                                                     gt_arr[:, :3, 3])
         t_err, r_err = rpe(est, gt_arr)
         summary["rpe_trans_m"] = t_err
         summary["rpe_rot_rad"] = r_err
@@ -184,31 +216,75 @@ def main(argv=None):
 
 
 def _run_chunked(args, cfg, K, frames, dist):
-    """VO via the chunked streaming executor (kbslam/streaming.py):
+    """Tracking via the chunked streaming executor (kbslam/streaming.py):
     N frames per device dispatch with double-buffered uploads — the
-    throughput ingress mode bench.py measures, on the CLI surface."""
+    throughput ingress mode bench.py measures, on the CLI surface.
+    --ba async overlaps chunk-late local BA solves with tracking (the
+    reference's detached BA thread, main.cpp:40-47)."""
     import time
 
     from kbslam.geom.camera import Intrinsics
     from kbslam.pipeline import init_state
-    from kbslam.slam import _quat_to_matrix_np
+    from kbslam.slam import (_quat_to_matrix_np, map_keyframe_positions,
+                             map_point_positions)
     from kbslam.streaming import ChunkedStream
+    from kbslam.viz.rerun_viewer import Viewer
 
     intr = Intrinsics.from_matrix(K, dist=dist)
-    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=args.chunk,
-                       gray=args.gray)
+    state = init_state(cfg)
+    if args.resume:
+        from kbslam.io.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(args.resume, cfg)
+    cs = ChunkedStream(cfg, intr, state, chunk=args.chunk,
+                       gray=args.gray, use_mask=args.mask,
+                       ba_mode="async" if args.ba == "async" else "off")
+    viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
+    view_every = args.viewer_every or args.chunk
+    frame_buf = {}  # frame index -> (rgb, depth, mask) for viewer readout
+    traj = []
+
+    def _view(drained):
+        for r in drained:
+            traj.append(r["pose_t"])
+            if viewer is not None and r["frame"] % view_every == 0:
+                rgb_v, dep_v, msk_v = frame_buf[r["frame"]]
+                m = cs.state.map
+                viewer.update(np.stack(traj), map_keyframe_positions(m),
+                              map_point_positions(m), rgb_v, dep_v, msk_v)
+        for r in drained:
+            frame_buf.pop(r["frame"], None)
+
     results, gts = [], []
     n = 0
     t0 = time.perf_counter()
     for rgb, depth, mask, gt in frames:
         if n >= args.frames:
             break
-        results += cs.feed(rgb, depth)
+        if viewer is not None:
+            frame_buf[n] = (rgb, depth, mask)
+        got = cs.feed(rgb, depth, mask if args.mask else None)
+        _view(got)
+        results += got
         if gt is not None:
             gts.append(gt)
         n += 1
-    results += cs.flush()
+    got = cs.flush()
+    _view(got)
+    results += got
     wall = time.perf_counter() - t0
+
+    if args.global_ba:
+        from kbslam.slam import run_global_ba_on_map
+
+        new_map, costs = run_global_ba_on_map(cs.state.map, intr, cfg.ba)
+        cs.state = cs.state._replace(map=new_map)
+        print(f"global BA cost: {costs[0]:.2f} -> {costs[-1]:.2f}",
+              file=sys.stderr)
+    if args.save_checkpoint:
+        from kbslam.io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_checkpoint, cs.state)
 
     est = []
     for r in results:
@@ -221,6 +297,7 @@ def _run_chunked(args, cfg, K, frames, dist):
         frames=n,
         success=sum(r["success"] for r in results),
         keyframes=int(np.sum([r["added_kf"] for r in results])),
+        ba_runs=len(cs.ba_stats),
         chunk=args.chunk,
         gray_ingress=bool(args.gray),
         streaming_fps=round(n / wall, 1) if wall > 0 else None,
@@ -230,6 +307,13 @@ def _run_chunked(args, cfg, K, frames, dist):
 
         gt_arr = np.stack(gts)
         summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
+        if cs.ba_stats:
+            from kbslam.slam import refine_frame_poses
+
+            anchors = [(r["anchor_id"], _anchor_T(r)) for r in results]
+            refn = refine_frame_poses(list(est), anchors, cs.state.map)
+            summary["ate_rmse_refined_m"] = ate_rmse(refn[:, :3, 3],
+                                                     gt_arr[:, :3, 3])
         t_err, r_err = rpe(est, gt_arr)
         summary["rpe_trans_m"] = t_err
         summary["rpe_rot_rad"] = r_err
@@ -242,6 +326,15 @@ def _run_chunked(args, cfg, K, frames, dist):
                 f.write(f"{i} {T[0,3]} {T[1,3]} {T[2,3]} "
                         f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
     print(json.dumps(summary))
+
+
+def _anchor_T(r):
+    from kbslam.slam import _quat_to_matrix_np
+
+    T = np.eye(4)
+    T[:3, :3] = _quat_to_matrix_np(r["anchor_q"])
+    T[:3, 3] = r["anchor_t"]
+    return T
 
 
 if __name__ == "__main__":

@@ -107,6 +107,21 @@ class BAConfig:
     pixel_sigma: float = 1.0          # (Optimizers.cpp:99)
     loss_alpha: float = 1.0           # w = 1/(alpha + beta z^2) (Optimizers.cpp:162-165)
     loss_beta: float = 0.25
+    # RGB-D per-observation depth residuals — deliberate improvement
+    # over the reference, which uses measured depth only through the
+    # single anchor residual (Optimizers.cpp:173-192). On coplanar
+    # scenes the reprojection-only objective has a near-null pose/plane
+    # valley whose minimum is displaced tens of mm by noise (measured:
+    # a converged solve on a textured-plane window moved gauge-relative
+    # keyframe error 10->57 mm while REDUCING cost 49->15; with these
+    # residuals the same configuration costs 2683 — far uphill).
+    # Residual (z_cam(X) - z_meas)/sigma with the Kinect-style
+    # quadratic sigma below, Huber-robustified and build-time gated
+    # like the reprojection terms. False = strict reference objective.
+    depth_residuals: bool = True
+    depth_res_sigma0: float = 0.002   # sigma = max(s0*z^2, s_min) metres
+    depth_res_sigma_min: float = 0.002
+    depth_res_gate: float = 3.0       # build-time whitened outlier gate
     # Landmark pruning after the solve (Optimizers.cpp:225-235).
     prune_min_obs: int = 2
     prune_min_inlier_kfs: int = 2
@@ -165,6 +180,13 @@ class SLAMConfig:
     # Default 3: reaches ATE parity with the OpenCV oracle at ~10% frame
     # cost (set 1 for strict reference behavior).
     track_keyframes: int = 3
+    # Keyframe insertion without lax.cond: always execute the (masked,
+    # drop-scatter) insertion, gated by index arithmetic. SLOWER single
+    # stream (~+0.37 ms/frame: insertion work runs every frame) but
+    # REQUIRED for the vmapped multistream path, where cond lowers to
+    # both-branch execution + a full-map select copy every frame
+    # (~0.85 ms/stream, benchmarks/exp_multistream2.py).
+    branchless_insert: bool = False
     orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
     matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
     pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)

@@ -43,8 +43,19 @@ class Intrinsics(NamedTuple):
         import numpy as _np
 
         K = _np.asarray(K)
-        d = (tuple(float(c) for c in _np.asarray(dist).ravel()[:5])
-             if dist is not None else (0.0,) * 5)
+        if dist is not None:
+            dv = _np.asarray(dist).ravel()
+            if len(dv) > 5 and _np.any(dv[5:]):
+                # e.g. OpenCV's 8-coefficient rational model: silently
+                # dropping k4..k6 would yield wrong geometry
+                raise ValueError(
+                    f"unsupported distortion model: got {len(dv)} "
+                    "coefficients with nonzero tail; only the 5-vector "
+                    "Brown-Conrady (k1,k2,p1,p2,k3) of the reference "
+                    "(Camera.cpp:108-124) is supported")
+            d = tuple(float(c) for c in dv[:5])
+        else:
+            d = (0.0,) * 5
         d = d + (0.0,) * (5 - len(d))
         return Intrinsics(float(K[0, 0]), float(K[1, 1]),
                           float(K[0, 2]), float(K[1, 2]), d)

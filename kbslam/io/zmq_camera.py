@@ -13,10 +13,18 @@ Structural parity with the reference's Camera component (Camera.cpp):
 
 Wire format: the reference serializes with protobuf schemas from the
 ``as-serializers`` submodule, which is an EMPTY stub in the mounted
-snapshot (.gitmodules:1-9) — byte-level parity is unverifiable, so
-payloads here use an explicit little-endian header + raw array bytes
-(documented in _pack/_unpack). Topics, socket pattern, and multipart
-structure match the reference.
+snapshot (.gitmodules:1-9) — byte-level parity is unverifiable. Two
+formats are therefore supported, auto-detected on receive:
+
+  - "raw": explicit little-endian header + raw array bytes (documented
+    in _pack/_unpack) — the round-1/2 format, kept as the default;
+  - "proto": a best-effort protobuf reconstruction of the
+    as-serializers messages (kbslam/io/proto/as_camera.proto — field
+    set from the structs the reference reads, Camera.cpp:74-79 and
+    :117-123) so a protobuf-speaking camera-manager can feed kbslam.
+
+Topics, socket pattern, and multipart structure match the reference in
+both formats.
 """
 from __future__ import annotations
 
@@ -35,6 +43,18 @@ DEFAULT_ENDPOINT = "tcp://localhost:5555"
 _DTYPES = {0: np.uint8, 1: np.uint16}
 _DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1}
 
+# OpenCV type codes used by the proto Image message (what cv::Mat would
+# carry through as-serializers): CV_8UC1=0, CV_16UC1=2, CV_8UC3=16.
+_CV_TYPES = {0: (np.uint8, 1), 2: (np.uint16, 1), 16: (np.uint8, 3)}
+_CV_CODES = {(np.dtype(np.uint8), 1): 0, (np.dtype(np.uint16), 1): 2,
+             (np.dtype(np.uint8), 3): 16}
+
+
+def _pb2():
+    from kbslam.io.proto import as_camera_pb2
+
+    return as_camera_pb2
+
 
 def _pack(img: np.ndarray) -> bytes:
     """Header: u32 h, u32 w, u8 channels, u8 dtype code; then raw bytes."""
@@ -47,10 +67,53 @@ def _pack(img: np.ndarray) -> bytes:
     )
 
 
+def _pack_proto(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img)
+    c = 1 if img.ndim == 2 else img.shape[2]
+    return _pb2().Image(
+        rows=img.shape[0], cols=img.shape[1],
+        type=_CV_CODES[(img.dtype, c)], data=img.tobytes()
+    ).SerializeToString()
+
+
 def _unpack(buf: bytes) -> np.ndarray:
-    h, w, c, code = struct.unpack("<IIBB", buf[:10])
-    arr = np.frombuffer(buf[10:], dtype=_DTYPES[code])
-    return arr.reshape((h, w) if c == 1 else (h, w, c))
+    """Decode an image payload, auto-detecting raw vs proto framing.
+
+    The raw header is self-validating (payload length must equal
+    10 + h*w*c*itemsize exactly), so raw frames can never fall through
+    to the proto parser; proto frames fail that length check and are
+    parsed as the Image message (validated against rows*cols*elemSize)."""
+    if len(buf) >= 10:
+        h, w, c, code = struct.unpack("<IIBB", buf[:10])
+        if code in _DTYPES and len(buf) == 10 + h * w * c * np.dtype(
+                _DTYPES[code]).itemsize:
+            arr = np.frombuffer(buf[10:], dtype=_DTYPES[code])
+            return arr.reshape((h, w) if c == 1 else (h, w, c))
+    msg = _pb2().Image.FromString(bytes(buf))
+    if msg.type not in _CV_TYPES:
+        raise ValueError(f"unsupported OpenCV type code {msg.type}")
+    dtype, c = _CV_TYPES[msg.type]
+    expect = msg.rows * msg.cols * c * np.dtype(dtype).itemsize
+    if len(msg.data) != expect:
+        raise ValueError(
+            f"proto Image data size {len(msg.data)} != {expect} "
+            f"({msg.rows}x{msg.cols} type {msg.type})")
+    arr = np.frombuffer(msg.data, dtype=dtype)
+    return arr.reshape((msg.rows, msg.cols) if c == 1
+                       else (msg.rows, msg.cols, c))
+
+
+def _unpack_intrinsics(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """JSON (raw format) or proto Intrinsics -> (K 3x3, dist 5)."""
+    if buf[:1] == b"{":
+        meta = json.loads(buf)
+        return (np.asarray(meta["K"], np.float64),
+                np.asarray(meta.get("dist", [0] * 5), np.float64))
+    m = _pb2().Intrinsics.FromString(bytes(buf))
+    K = np.array([[m.fx, 0, m.ppx], [0, m.fy, m.ppy], [0, 0, 1.0]])
+    dist = np.zeros(5)
+    dist[:len(m.coeffs)] = list(m.coeffs)[:5]
+    return K, dist
 
 
 class ZMQCamera:
@@ -101,9 +164,7 @@ class ZMQCamera:
                     raise RuntimeError(
                         "empty intrinsics payload (reference exits here, "
                         "Camera.cpp:35-39)")
-                meta = json.loads(parts[1])
-                self._K = np.asarray(meta["K"], dtype=np.float64)
-                self._dist = np.asarray(meta.get("dist", [0] * 5), np.float64)
+                self._K, self._dist = _unpack_intrinsics(parts[1])
                 self._k_ready.set()
             elif topic == RGBD_TOPIC:
                 with self._lock:
@@ -159,25 +220,36 @@ class FramePublisher:
     implicitly depends on (SURVEY §4): publishes intrinsics then frames
     over the same topics/socket pattern."""
 
-    def __init__(self, endpoint: str = "tcp://*:5555"):
+    def __init__(self, endpoint: str = "tcp://*:5555", wire: str = "raw"):
+        """wire: "raw" (header+bytes) or "proto" (the best-effort
+        as-serializers protobuf schema — what a reference-ecosystem
+        camera-manager would speak)."""
         import zmq
 
+        assert wire in ("raw", "proto")
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.PUB)
         self._sock.bind(endpoint)
+        self._wire = wire
 
     def publish_intrinsics(self, K: np.ndarray, dist=None):
-        payload = json.dumps(
-            {"K": np.asarray(K).tolist(),
-             "dist": list(dist) if dist is not None else [0.0] * 5}
-        ).encode()
+        K = np.asarray(K, np.float64)
+        d = list(dist) if dist is not None else [0.0] * 5
+        if self._wire == "proto":
+            payload = _pb2().Intrinsics(
+                fx=K[0, 0], fy=K[1, 1], ppx=K[0, 2], ppy=K[1, 2],
+                coeffs=[float(c) for c in d]).SerializeToString()
+        else:
+            payload = json.dumps({"K": K.tolist(),
+                                  "dist": [float(c) for c in d]}).encode()
         self._sock.send_multipart([INTRINSICS_TOPIC, payload])
 
     def publish_frame(self, rgb, depth, mask=None):
         if mask is None:
             mask = np.full(rgb.shape[:2], 255, np.uint8)
+        pack = _pack_proto if self._wire == "proto" else _pack
         self._sock.send_multipart(
-            [RGBD_TOPIC, _pack(rgb), _pack(depth), _pack(mask)]
+            [RGBD_TOPIC, pack(rgb), pack(depth), pack(mask)]
         )
 
     def publish_end(self):

@@ -102,20 +102,35 @@ def insert_keyframe(
     feats: Features,
     depth_at_kp: jnp.ndarray,
     pose: SE3,
+    do: Optional[jnp.ndarray] = None,
 ) -> MapState:
     """Map::AddKeyframe (Map.cpp:7-14): write the new KF into the next ring
-    slot. Landmark slots start empty; fusion happens in create_map_points."""
+    slot. Landmark slots start empty; fusion happens in create_map_points.
+
+    ``do`` (bool scalar) makes the insertion BRANCHLESS: when False, the
+    scatter indices go out of bounds (mode="drop") and the counter does
+    not advance — bit-identical to not calling this at all. Exists for
+    the vmapped multistream path, where wrapping insertion in lax.cond
+    degenerates to executing both branches AND select-copying the whole
+    map state every frame (~0.85 ms/stream measured,
+    benchmarks/exp_multistream2.py)."""
     slot = state.num_kf % state.capacity_kf
+    if do is not None:
+        slot = jnp.where(do, slot, state.capacity_kf)
+        inc = do.astype(state.num_kf.dtype)
+    else:
+        inc = 1
     return state._replace(
-        kf_q=state.kf_q.at[slot].set(pose.q),
-        kf_t=state.kf_t.at[slot].set(pose.t),
-        kf_kp_xy=state.kf_kp_xy.at[slot].set(feats.xy),
-        kf_kp_depth=state.kf_kp_depth.at[slot].set(depth_at_kp),
-        kf_desc=state.kf_desc.at[slot].set(feats.desc),
-        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid),
-        kf_mp=state.kf_mp.at[slot].set(jnp.full_like(state.kf_mp[slot], NO_MP)),
-        kf_id=state.kf_id.at[slot].set(state.num_kf),
-        num_kf=state.num_kf + 1,
+        kf_q=state.kf_q.at[slot].set(pose.q, mode="drop"),
+        kf_t=state.kf_t.at[slot].set(pose.t, mode="drop"),
+        kf_kp_xy=state.kf_kp_xy.at[slot].set(feats.xy, mode="drop"),
+        kf_kp_depth=state.kf_kp_depth.at[slot].set(depth_at_kp, mode="drop"),
+        kf_desc=state.kf_desc.at[slot].set(feats.desc, mode="drop"),
+        kf_kp_valid=state.kf_kp_valid.at[slot].set(feats.valid, mode="drop"),
+        kf_mp=state.kf_mp.at[slot].set(
+            jnp.full_like(state.kf_mp[0], NO_MP), mode="drop"),
+        kf_id=state.kf_id.at[slot].set(state.num_kf, mode="drop"),
+        num_kf=state.num_kf + inc,
     )
 
 
@@ -123,6 +138,7 @@ def create_map_points(
     state: MapState,
     match: MatchResult,
     intr_fx, intr_fy, intr_cx, intr_cy,
+    do: Optional[jnp.ndarray] = None,
 ) -> MapState:
     """Map::CreateMapPoints (Map.cpp:16-65), as masked scatters.
 
@@ -141,6 +157,13 @@ def create_map_points(
 
     q_idx = jnp.arange(state.kf_mp.shape[1])
     matched = match.is_match
+    if do is not None:
+        # branchless gating (see insert_keyframe): every write below is
+        # keyed off ``matched`` or a slot index, so masking the former
+        # and dropping the latter makes do=False a provable no-op
+        matched = matched & do
+        prev_slot = jnp.where(do, prev_slot, m)
+        curr_slot = jnp.where(do, curr_slot, m)
     t_idx = match.best_idx
 
     prev_mp = state.kf_mp[prev_slot]                 # [F]
@@ -180,7 +203,8 @@ def create_map_points(
     curr_mp = state.kf_mp[curr_slot]
     curr_mp_new = curr_mp.at[drop_t].set(share_id, mode="drop")
 
-    kf_mp = state.kf_mp.at[prev_slot].set(prev_mp_new).at[curr_slot].set(curr_mp_new)
+    kf_mp = (state.kf_mp.at[prev_slot].set(prev_mp_new, mode="drop")
+             .at[curr_slot].set(curr_mp_new, mode="drop"))
     return state._replace(
         kf_mp=kf_mp,
         mp_pos=mp_pos,

@@ -39,7 +39,14 @@ def make_multistream_step(
     donate: bool = True,
 ):
     """Returns a jitted step: (state[S], rgb[S,H,W,3], depth[S,H,W], key[S])
-    -> (state[S], out[S]), sharded over ``axis`` when a mesh is given."""
+    -> (state[S], out[S]), sharded over ``axis`` when a mesh is given.
+
+    Uses the branchless keyframe insertion (SLAMConfig.branchless_insert):
+    under vmap, the single-stream lax.cond insertion executes both
+    branches AND select-copies the full map state every frame — measured
+    ~0.85 ms/stream (benchmarks/exp_multistream2.py); the masked-scatter
+    form pays only the ~0.4 ms insertion compute."""
+    cfg = cfg.replace(branchless_insert=True)
 
     def base(state, rgb, depth, key):
         return track_step(state, rgb, depth, None, key, intr, cfg)

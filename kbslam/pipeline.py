@@ -56,6 +56,13 @@ class TrackOutput(NamedTuple):
     num_matches: jnp.ndarray   # int32 ratio-test survivors
     num_inliers: jnp.ndarray   # int32
     num_features: jnp.ndarray  # int32 valid ORB keypoints
+    # anchor keyframe = newest keyframe AFTER this frame's insertion,
+    # with its pose as tracking saw it. Frame poses chain off this
+    # keyframe; when BA later refines it, the host can re-express the
+    # frame pose against the refined anchor (SLAM.refined_trajectory).
+    anchor_id: jnp.ndarray     # int32 (-1 = no keyframe yet)
+    anchor_q: jnp.ndarray      # [4]
+    anchor_t: jnp.ndarray      # [3]
 
 
 def init_state(cfg: SLAMConfig) -> TrackState:
@@ -252,17 +259,29 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         is_match=match.is_match[:F],
     )
 
-    def _insert(mp: MapState) -> MapState:
-        mp = insert_keyframe(mp, feats, depth_kp, pose)
-        return jax.lax.cond(
-            empty,
-            lambda s: s,
-            lambda s: create_map_points(s, fuse_match, intr.fx, intr.fy,
-                                        intr.cx, intr.cy),
-            mp,
-        )
+    if cfg.branchless_insert:
+        # masked-scatter gating instead of lax.cond: required under vmap
+        # (multistream), where cond executes both branches AND pays a
+        # full-map select copy every frame (see SLAMConfig).
+        new_map = insert_keyframe(m, feats, depth_kp, pose, do=do_insert)
+        new_map = create_map_points(new_map, fuse_match, intr.fx, intr.fy,
+                                    intr.cx, intr.cy,
+                                    do=do_insert & jnp.logical_not(empty))
+    else:
+        def _insert(mp: MapState) -> MapState:
+            mp = insert_keyframe(mp, feats, depth_kp, pose)
+            return jax.lax.cond(
+                empty,
+                lambda s: s,
+                lambda s: create_map_points(s, fuse_match, intr.fx, intr.fy,
+                                            intr.cx, intr.cy),
+                mp,
+            )
 
-    new_map = jax.lax.cond(do_insert, _insert, lambda s: s, m)
+        new_map = jax.lax.cond(do_insert, _insert, lambda s: s, m)
+
+    a_slot = new_map.last_slot()
+    anchor_id = new_map.num_kf - 1  # -1 while the map is empty
 
     new_state = TrackState(
         map=new_map,
@@ -280,6 +299,9 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         num_matches=num_matches,
         num_inliers=num_inliers_all,
         num_features=feats.count(),
+        anchor_id=anchor_id,
+        anchor_q=new_map.kf_q[a_slot],
+        anchor_t=new_map.kf_t[a_slot],
     )
     return new_state, out
 

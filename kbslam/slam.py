@@ -39,6 +39,83 @@ def _quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
     ])
 
 
+def refine_frame_poses(frame_poses, frame_anchors, map_state) -> np.ndarray:
+    """Post-hoc keyframe-anchored trajectory correction (see
+    SLAM.refined_trajectory). frame_anchors: [(anchor_kf_id, T_anchor
+    at track time)]. Shared by the per-frame and chunked paths."""
+    ids = np.asarray(map_state.kf_id)
+    live = {int(k): i for i, k in enumerate(ids) if k >= 0}
+    kf_q = np.asarray(map_state.kf_q)
+    kf_t = np.asarray(map_state.kf_t)
+    out = []
+    for T, (aid, Ta) in zip(frame_poses, frame_anchors):
+        if aid >= 0 and aid in live:
+            s = live[aid]
+            Tf = np.eye(4)
+            Tf[:3, :3] = _quat_to_matrix_np(kf_q[s])
+            Tf[:3, 3] = kf_t[s]
+            T = Tf @ np.linalg.inv(Ta) @ T
+        out.append(T)
+    return np.stack(out) if out else np.zeros((0, 4, 4))
+
+
+def map_keyframe_positions(m) -> np.ndarray:
+    """Map::GetKeyFramesPositions (Map.cpp:80-89) on a MapState; the
+    display remap (x,-z,-y) is applied by the viewer."""
+    valid = np.asarray(m.kf_id) >= 0
+    return np.asarray(m.kf_t)[valid]
+
+
+def map_point_positions(m) -> np.ndarray:
+    """Map::GetMapPointsPositions (Map.cpp:91-101) on a MapState."""
+    mp = np.asarray(m.kf_mp)
+    P = m.capacity_mp
+    live = (mp >= 0) & (mp >= int(m.num_mp) - P)
+    slots = np.unique(mp[live]) % P
+    return np.asarray(m.mp_pos)[slots] if len(slots) else np.zeros((0, 3))
+
+
+def run_global_ba_on_map(map_state, intr: Intrinsics, ba_cfg,
+                         steps: int = 5, pcg_iters: int = 30,
+                         mesh=None):
+    """Full-map bundle adjustment over all live keyframes of a MapState
+    (the reference has no global BA; this is the config-5 scale path —
+    camera-sharded over a device mesh when one is given). Returns
+    (new_map_state, per-round costs). Shared by the per-frame SLAM shell
+    and the chunked-streaming CLI path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from kbslam.ba.global_ba import (
+        GlobalBAData, from_map_state, global_ba_solve, write_back)
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("stream",))
+    n_dev = mesh.devices.size
+    n_kf = min(int(map_state.num_kf), map_state.capacity_kf)
+    # never exceed the ring capacity: after a wrap, a window wider
+    # than the ring would alias one slot into two real problem rows
+    # (double-counted observations). Round capacity DOWN to a mesh
+    # multiple and pad short windows with real=False rows instead.
+    cap_down = (map_state.capacity_kf // n_dev) * n_dev
+    assert cap_down >= n_dev, "map.max_keyframes < mesh size"
+    n_cams = max(((min(n_kf, cap_down) + n_dev - 1) // n_dev) * n_dev,
+                 n_dev)
+
+    data, slots, real = from_map_state(map_state, intr, ba_cfg, n_cams)
+    shard = NamedSharding(mesh, P("stream"))
+    rep = NamedSharding(mesh, P())
+    data = GlobalBAData(
+        *[jax.device_put(x, shard) for x in data[:7]],
+        jax.device_put(data.mp_pos, rep),
+        jax.device_put(data.anchor_mp, rep),
+    )
+    # LM trust-region solve: accept/reject per round, monotone
+    # non-increasing costs (Ceres' schedule, Optimizers.cpp:203)
+    data, costs = global_ba_solve(data, intr, mesh, iters=steps,
+                                  pcg_iters=pcg_iters)
+    new_map = write_back(map_state, data, slots, real)
+    return new_map, [float(c) for c in np.asarray(costs)]
+
+
 class SLAM:
     """Stateful host wrapper: feed RGB-D frames, read back trajectory/map."""
 
@@ -85,6 +162,7 @@ class SLAM:
         self._frame = 0
         self.trajectory: List[np.ndarray] = []   # [4,4] poses, successes only
         self.frame_poses: List[np.ndarray] = []  # per input frame (held on failure)
+        self.frame_anchors: List[tuple] = []     # (anchor_kf_id, T_anchor@track)
         self.diagnostics: List[dict] = []
         self.ba_stats: List[dict] = []
 
@@ -138,6 +216,10 @@ class SLAM:
         if bool(o.success) or self._frame == 0:
             self.trajectory.append(T)
         self.frame_poses.append(T)
+        Ta = np.eye(4)
+        Ta[:3, :3] = _quat_to_matrix_np(np.asarray(o.anchor_q))
+        Ta[:3, 3] = o.anchor_t
+        self.frame_anchors.append((int(o.anchor_id), Ta))
 
         diag = dict(
             frame=self._frame,
@@ -178,41 +260,28 @@ class SLAM:
         """Full-map bundle adjustment over all live keyframes (the
         reference has no global BA; this is the config-5 scale path —
         camera-sharded over a device mesh when one is given)."""
-        import numpy as _np
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        from kbslam.ba.global_ba import (
-            GlobalBAData, from_map_state, global_ba_solve, write_back)
+        new_map, costs = run_global_ba_on_map(
+            self.state.map, self.intr, self.config.ba,
+            steps=steps, pcg_iters=pcg_iters, mesh=mesh)
+        self.state = self.state._replace(map=new_map)
+        return costs
 
-        if mesh is None:
-            mesh = Mesh(_np.array(jax.devices()[:1]), axis_names=("stream",))
-        n_dev = mesh.devices.size
-        n_kf = min(self.num_keyframes, self.state.map.capacity_kf)
-        # never exceed the ring capacity: after a wrap, a window wider
-        # than the ring would alias one slot into two real problem rows
-        # (double-counted observations). Round capacity DOWN to a mesh
-        # multiple and pad short windows with real=False rows instead.
-        cap_down = (self.state.map.capacity_kf // n_dev) * n_dev
-        assert cap_down >= n_dev, "map.max_keyframes < mesh size"
-        n_cams = max(((min(n_kf, cap_down) + n_dev - 1) // n_dev) * n_dev,
-                     n_dev)
+    def refined_trajectory(self) -> np.ndarray:
+        """Frame poses re-expressed against BA-refined keyframes.
 
-        state = self.state.map
-        data, slots, real = from_map_state(state, self.intr, self.config.ba,
-                                           n_cams)
-        shard = NamedSharding(mesh, P("stream"))
-        rep = NamedSharding(mesh, P())
-        data = GlobalBAData(
-            *[jax.device_put(x, shard) for x in data[:7]],
-            jax.device_put(data.mp_pos, rep),
-            jax.device_put(data.anchor_mp, rep),
-        )
-        # LM trust-region solve: accept/reject per round, monotone
-        # non-increasing costs (Ceres' schedule, Optimizers.cpp:203)
-        data, costs = global_ba_solve(data, self.intr, mesh, iters=steps,
-                                      pcg_iters=pcg_iters)
-        self.state = self.state._replace(
-            map=write_back(state, data, slots, real))
-        return [float(c) for c in np.asarray(costs)]
+        Each tracked pose chained off the then-current newest keyframe
+        (the BA gauge, so online estimates never feel the refinement —
+        reference main.cpp semantics: the poses vector is never
+        revisited). This applies the standard post-hoc correction
+        T_i' = T_a(final) T_a(track)^-1 T_i, where a is frame i's
+        anchor keyframe: the full trajectory inherits the window
+        solves' accuracy (keyframe ATE is ~10x better than online ATE
+        on hard scenes, measured). Frames whose anchor left the ring
+        keep their online pose. The reference cannot produce this
+        output — its BA discards exactly this information.
+        """
+        return refine_frame_poses(self.frame_poses, self.frame_anchors,
+                                  self.state.map)
 
     def finish(self):
         """Drain any in-flight async BA (end-of-sequence)."""
@@ -227,17 +296,10 @@ class SLAM:
     # --- map accessors (Map::GetKeyFramesPositions / GetMapPointsPositions,
     # Map.cpp:80-101 — display remap (x,-z,-y) applied by the viewer) ------
     def keyframe_positions(self) -> np.ndarray:
-        m = self.state.map
-        valid = np.asarray(m.kf_id) >= 0
-        return np.asarray(m.kf_t)[valid]
+        return map_keyframe_positions(self.state.map)
 
     def map_points(self) -> np.ndarray:
-        m = self.state.map
-        mp = np.asarray(m.kf_mp)
-        P = m.capacity_mp
-        live = (mp >= 0) & (mp >= int(m.num_mp) - P)
-        slots = np.unique(mp[live]) % P
-        return np.asarray(m.mp_pos)[slots] if len(slots) else np.zeros((0, 3))
+        return map_point_positions(self.state.map)
 
     @property
     def num_keyframes(self) -> int:

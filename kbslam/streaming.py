@@ -20,6 +20,16 @@ results just arrive with up to C frames of latency — the same contract
 as the reference's detached BA thread, which also reads the map a few
 frames late. Latency/throughput trade: C=1 is the reference behavior,
 C=8 amortizes the dispatch round-trip 8x.
+
+Concurrent local BA (``ba_mode="async"``) mirrors the reference's
+detached background BA thread (main.cpp:40-47): when a drained chunk
+reports a keyframe insertion, a no-donate solve is dispatched on a
+SNAPSHOT of the live map and runs concurrently with the next chunks'
+tracking (JAX async dispatch = the thread overlap); the result merges
+into the live map once ready, via the same race-free snapshot/merge
+machinery the per-frame async path uses (ba/merge.py). BA therefore
+runs chunk-late — the reference's BA also reads the map a few frames
+after the insertion that triggered it.
 """
 from __future__ import annotations
 
@@ -35,15 +45,28 @@ from kbslam.geom.camera import Intrinsics
 from kbslam.pipeline import TrackState, track_step
 
 
+def unpack_mask_bits(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """[..., W/8] uint8 (np.packbits big-endian) -> [..., W] uint8 in
+    {0,1}. Device-side unpack for the 1-bit-per-pixel mask ingress: a
+    640x480 mask is 38.4 KB on the wire instead of 307 KB, preserving
+    the gray-ingress link win (the tunnel link is 20-60 MB/s)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)[..., :width]
+
+
 @functools.lru_cache(maxsize=8)
 def make_chunk_step(cfg: SLAMConfig, intr: Intrinsics, chunk: int,
-                    use_mask: bool = False, seed: int = 0):
+                    use_mask: bool = False, seed: int = 0,
+                    packed_mask: bool = False):
     """jit: (state, rgb[C,H,W,3], dep[C,H,W], mask?[C,H,W]) ->
     (state, TrackOutput batched over C). One dispatch per C frames."""
 
     def scan_body(st, xs):
         if use_mask:
             rgb, dep, msk, real = xs
+            if packed_mask:
+                msk = unpack_mask_bits(msk, cfg.image_width)
         else:
             rgb, dep, real = xs
             msk = None
@@ -69,22 +92,56 @@ class ChunkedStream:
     feed() accepts one frame; every C-th frame triggers one device
     dispatch. Outputs arrive via drain() with <= 2C frames of latency;
     flush() pads the final partial chunk (masked by count) and drains
-    everything. Keyframe-triggered work (local BA) runs chunk-late,
+    everything. Keyframe-triggered work (local BA with
+    ``ba_mode="async"``, culling with ``cull=True``) runs chunk-late,
     mirroring the reference's detached-BA-thread timing.
     """
 
     def __init__(self, cfg: SLAMConfig, intr: Intrinsics, state: TrackState,
                  chunk: int = 8, use_mask: bool = False, seed: int = 0,
-                 gray: bool = False):
+                 gray: bool = False, ba_mode: str = "off"):
         """gray=True converts RGB to uint8 luma on the HOST before
         upload — 1.6x fewer ingress bytes on bandwidth-bound links (the
         extractor is grayscale-only anyway; quantization differs from
-        the device float path by <=0.5 gray levels)."""
+        the device float path by <=0.5 gray levels). With gray the mask
+        also travels bit-packed (1 bpp, unpacked on device).
+
+        ba_mode="async" runs the reference's concurrent local BA
+        (main.cpp:40-47): snapshot solve overlapped with tracking, at
+        most one in flight, merged when ready."""
+        assert ba_mode in ("off", "async")
         self.chunk = int(chunk)
         self.use_mask = use_mask
         self.gray = gray
-        self._step = make_chunk_step(cfg, intr, self.chunk, use_mask, seed)
+        # bit-packed masks ride with gray ingress (both exist to cut
+        # wire bytes); RGB ingress keeps the plain u8 mask for the exact
+        # per-frame-path equivalence contract
+        self._packed_mask = bool(use_mask and gray)
+        self._step = make_chunk_step(cfg, intr, self.chunk, use_mask, seed,
+                                     self._packed_mask)
         self.state = state
+        self.ba_mode = ba_mode
+        self.ba_stats: List[dict] = []
+        if ba_mode == "async":
+            from kbslam.ba.local_ba import local_ba
+            from kbslam.ba.merge import make_merge
+
+            # async BA must NOT donate: the snapshot shares buffers with
+            # the live state tracking keeps using
+            self._ba_nodonate = jax.jit(lambda s: local_ba(s, intr, cfg.ba))
+            self._merge = make_merge(cfg.ba)
+            # tracking donates its state buffers every chunk, so the
+            # snapshot must be a real copy
+            self._copy_map = jax.jit(
+                lambda m: jax.tree.map(lambda x: x + 0 if x.dtype != bool
+                                       else x & True, m))
+        self._ba_inflight = None  # (snapshot_map, result_map, stats)
+        if cfg.cull.enabled:
+            from kbslam.mapping.cull import cull_keyframes
+
+            self._cull = jax.jit(lambda m: cull_keyframes(m, cfg.cull))
+        else:
+            self._cull = None
         self._host: List[tuple] = []
         self._inflight = []   # [(n_real, batched TrackOutput futures)]
         self._drained: List[dict] = []
@@ -101,8 +158,11 @@ class ChunkedStream:
                                       jax.device_put(real))
         self._inflight.append((n_real, outs))
 
-    def _collect(self, n_real, outs):
+    def _collect(self, n_real, outs) -> bool:
+        """Drain one chunk's outputs to the host; returns whether any
+        frame in it inserted a keyframe (the BA/cull trigger)."""
         o = jax.device_get(outs)  # hard barrier: bytes on host
+        added = False
         for i in range(n_real):
             self._drained.append(dict(
                 frame=self._frame,
@@ -114,8 +174,45 @@ class ChunkedStream:
                 num_matches=int(o.num_matches[i]),
                 num_inliers=int(o.num_inliers[i]),
                 num_features=int(o.num_features[i]),
+                anchor_id=int(o.anchor_id[i]),
+                anchor_q=np.asarray(o.anchor_q[i]),
+                anchor_t=np.asarray(o.anchor_t[i]),
             ))
+            added |= bool(o.added_kf[i])
             self._frame += 1
+        return added
+
+    def _record_ba_stats(self, stats):
+        s = jax.device_get(stats)
+        self.ba_stats.append(dict(
+            initial_cost=float(s.initial_cost),
+            final_cost=float(s.final_cost),
+            iterations=int(s.iterations),
+            accepted=int(s.accepted),
+            num_pruned=int(s.num_pruned),
+        ))
+
+    def _kf_tick(self, added_kf: bool, block: bool = False):
+        """Chunk-late keyframe-triggered work: cull, then the async-BA
+        gate (at most one solve in flight — the reference's atomic
+        baRunning flag, main.cpp:22-47)."""
+        if added_kf and self._cull is not None:
+            self.state = self.state._replace(map=self._cull(self.state.map))
+        if self.ba_mode != "async":
+            return
+        if self._ba_inflight is not None:
+            snapshot, result, stats = self._ba_inflight
+            if block:
+                jax.block_until_ready(stats)
+            if all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
+                self.state = self.state._replace(
+                    map=self._merge(self.state.map, snapshot, result))
+                self._record_ba_stats(stats)
+                self._ba_inflight = None
+        if added_kf and self._ba_inflight is None:
+            snapshot = self._copy_map(self.state.map)
+            result, stats = self._ba_nodonate(snapshot)  # async dispatch
+            self._ba_inflight = (snapshot, result, stats)
 
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
@@ -127,27 +224,42 @@ class ChunkedStream:
                 np.asarray(rgb, np.float32)
                 @ np.array(GRAY_WEIGHTS, np.float32)
             ).astype(np.uint8)
-        self._host.append((rgb, depth, mask) if self.use_mask
-                          else (rgb, depth))
+        if self.use_mask:
+            if mask is None:
+                mask = np.ones(depth.shape[:2], np.uint8)
+            if self._packed_mask:
+                mask = np.packbits(
+                    np.asarray(mask, np.uint8).reshape(depth.shape[0], -1) > 0,
+                    axis=-1)
+            self._host.append((rgb, depth, mask))
+        else:
+            self._host.append((rgb, depth))
         if len(self._host) == self.chunk:
             self._dispatch(self.chunk)
         out: List[dict] = []
         # keep ONE chunk in flight: drain older results while the newest
         # chunk computes (downward transfer overlaps device work)
+        added = False
         while len(self._inflight) > 1:
-            self._collect(*self._inflight.pop(0))
+            added |= self._collect(*self._inflight.pop(0))
+        self._kf_tick(added)
         if self._drained:
             out, self._drained = self._drained, []
         return out
 
     def flush(self) -> List[dict]:
-        """Pad + dispatch the partial chunk, drain every result."""
+        """Pad + dispatch the partial chunk, drain every result and any
+        in-flight BA solve (end-of-sequence)."""
         if self._host:
             n_real = len(self._host)
             while len(self._host) < self.chunk:
                 self._host.append(self._host[-1])
             self._dispatch(n_real)
+        added = False
         while self._inflight:
-            self._collect(*self._inflight.pop(0))
+            added |= self._collect(*self._inflight.pop(0))
+        self._kf_tick(added, block=True)
+        if self._ba_inflight is not None:  # solve dispatched just above
+            self._kf_tick(False, block=True)
         out, self._drained = self._drained, []
         return out

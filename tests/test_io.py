@@ -203,3 +203,60 @@ def test_viewer_depth_jet_colorize():
     np.testing.assert_array_equal(img, colorize_depth(depth, 0.02))
     # 3000 * 0.02 = 60 -> blue-cyan region of JET
     assert img[0, 0, 2] > img[0, 0, 0]
+
+
+def test_zmq_proto_round_trip():
+    """Protobuf wire format (best-effort as-serializers schema,
+    kbslam/io/proto/as_camera.proto): a proto-speaking publisher feeds
+    the same subscriber — auto-detected, same end-to-end contract as
+    the raw format (reference ingress Camera.cpp:43,74-79)."""
+    pytest.importorskip("zmq")
+    pytest.importorskip("google.protobuf")
+    from kbslam.io.zmq_camera import FramePublisher, ZMQCamera
+
+    pub = FramePublisher("tcp://*:5712", wire="proto")
+    cam = ZMQCamera("tcp://localhost:5712", timeout_s=10.0)
+    time.sleep(0.3)
+
+    K = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]])
+    rgb = np.random.default_rng(2).integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    depth = np.random.default_rng(3).integers(0, 5000, (60, 80), dtype=np.uint16)
+    mask = (np.random.default_rng(4).random((60, 80)) > 0.5).astype(np.uint8) * 255
+
+    got_K = None
+    for _ in range(50):
+        pub.publish_intrinsics(K, dist=[0.25, 0, 0, 0, 0])
+        try:
+            got_K, dist = cam.get_intrinsics()
+            break
+        except TimeoutError:
+            continue
+    np.testing.assert_allclose(got_K, K)
+    np.testing.assert_allclose(dist, [0.25, 0, 0, 0, 0])
+
+    pub.publish_frame(rgb, depth, mask)
+    frames = cam.grab_frames(timeout=5.0)
+    assert frames is not None
+    r, d, m = frames
+    np.testing.assert_array_equal(r, rgb)
+    np.testing.assert_array_equal(d, depth)
+    np.testing.assert_array_equal(m, mask)
+
+    pub.publish_end()
+    time.sleep(0.2)
+    assert cam.grab_frames(timeout=2.0) is None
+    cam.close()
+    pub.close()
+
+
+def test_proto_image_pack_unpack_all_types():
+    """Image codec: CV_8UC3 / CV_16UC1 / CV_8UC1 round-trip, and raw
+    frames never mis-detect as proto (length self-validation)."""
+    from kbslam.io.zmq_camera import _pack, _pack_proto, _unpack
+
+    rng = np.random.default_rng(7)
+    for arr in (rng.integers(0, 255, (33, 41, 3), dtype=np.uint8),
+                rng.integers(0, 9000, (33, 41), dtype=np.uint16),
+                rng.integers(0, 2, (33, 41), dtype=np.uint8)):
+        np.testing.assert_array_equal(_unpack(_pack_proto(arr)), arr)
+        np.testing.assert_array_equal(_unpack(_pack(arr)), arr)

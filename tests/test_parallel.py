@@ -44,3 +44,49 @@ def test_multistream_tracks_independent_streams():
     assert outs[0].added_kf.all()
     # streams differ (independent scenes -> different match counts)
     assert len(set(int(x) for x in outs[-1].num_matches)) > 1
+
+
+def test_branchless_insert_matches_cond_path():
+    """SLAMConfig.branchless_insert (the vmap-friendly masked-scatter
+    insertion the multistream step uses) is bit-equivalent to the
+    single-stream lax.cond path over a real tracked sequence including
+    keyframe insertions and fusion."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kbslam.config import SLAMConfig, OrbConfig, PnPConfig, MapConfig
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.io.synthetic import render_sequence
+    from kbslam.pipeline import init_state, make_track_step
+
+    cfg = SLAMConfig(
+        image_height=120, image_width=160,
+        orb=OrbConfig(num_features=256, num_levels=3, max_features=256),
+        pnp=PnPConfig(num_hypotheses=64),
+        map=MapConfig(max_keyframes=8, max_map_points=4096),
+    )
+    seq = render_sequence(num_frames=20, height=120, width=160)
+    intr = Intrinsics.from_matrix(seq.K)
+
+    outs = {}
+    states = {}
+    for branchless in (False, True):
+        c = cfg.replace(branchless_insert=branchless)
+        step = make_track_step(c, intr, use_mask=False, auto_key=True)
+        st = init_state(c)
+        got = []
+        for i in range(20):
+            st, out = step(st, jnp.asarray(seq.rgb[i]),
+                           jnp.asarray(seq.depth[i]))
+            got.append(jax.device_get(out))
+        outs[branchless] = got
+        states[branchless] = jax.device_get(st)
+
+    for a, b in zip(outs[False], outs[True]):
+        assert bool(a.added_kf) == bool(b.added_kf)
+        np.testing.assert_array_equal(np.asarray(a.pose_t),
+                                      np.asarray(b.pose_t))
+    for la, lb in zip(jax.tree.leaves(states[False]),
+                      jax.tree.leaves(states[True])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
