@@ -246,6 +246,7 @@ def main():
                                           jnp.sum(m2.mp_pos))
         return jax.lax.scan(body, jnp.int32(0), maps)
 
+    state = st  # the capture loop donated the previous state's buffers
     tot_acc, (fc, acc, _sink) = ba_fresh_scan(stacked_maps)
     np.asarray(fc)
     ba_fresh_times = []

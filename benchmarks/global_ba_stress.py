@@ -84,6 +84,8 @@ def build_problem(n_cams=200, n_pts=50_000, obs_per_cam=512, noise=0.01,
         mp_id=jnp.asarray(np.stack(mp_id)),
         active=jnp.asarray(np.stack(active)),
         w_z=jnp.ones((n_cams, obs_per_cam), jnp.float32),
+        z_meas=jnp.zeros((n_cams, obs_per_cam), jnp.float32),
+        w_d=jnp.zeros((n_cams, obs_per_cam), jnp.float32),
         cam_free=jnp.asarray(cam_free),
         mp_pos=jnp.asarray(mp_pos),
         anchor_mp=jnp.int32(0),
@@ -101,7 +103,7 @@ def main():
     shard = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     data = GlobalBAData(
-        *[jax.device_put(x, shard) for x in data[:7]],
+        *[jax.device_put(x, shard) for x in data[:9]],
         jax.device_put(data.mp_pos, rep),
         jax.device_put(data.anchor_mp, rep),
     )

@@ -55,6 +55,10 @@ class GlobalBAData(NamedTuple):
     mp_id: jnp.ndarray    # [C, F] int32 (-1 = none)
     active: jnp.ndarray   # [C, F] bool
     w_z: jnp.ndarray      # [C, F] fixed robust/depth weights
+    z_meas: jnp.ndarray   # [C, F] measured keypoint depth (m; 0 = none)
+    w_d: jnp.ndarray      # [C, F] RGB-D depth-residual weight 1/sigma^2
+    # (all-zero when depth residuals are off; the kernels add the third
+    # residual row only when built with depth_rows=True)
     cam_free: jnp.ndarray # [C] bool (False: gauge-fixed or padding)
     mp_pos: jnp.ndarray   # [P, 3] replicated landmarks
     anchor_mp: jnp.ndarray  # [] int32 scale-anchor landmark held fixed
@@ -64,8 +68,20 @@ class GlobalBAData(NamedTuple):
     # solver pins the anchor landmark itself.
 
 
-def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr):
-    """Residuals, IRLS weights, and Jacobian blocks for a camera shard."""
+def _depth_row_terms(z, z_meas, w_d, active):
+    """Third residual row (RGB-D depth, see BAConfig.depth_residuals):
+    unwhitened residual, IRLS weight, robust cost for a camera shard."""
+    r_z = z - z_meas
+    rw = jnp.abs(jnp.sqrt(w_d) * r_z)
+    w_hub = jnp.minimum(1.0, 1.0 / jnp.maximum(rw, 1e-18))  # Huber delta=1
+    cost = jnp.sum(jnp.where(rw <= 1.0, rw * rw, 2.0 * rw - 1.0) * active)
+    return r_z, w_d * w_hub * active, cost
+
+
+def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
+                   mp_pos, intr, depth_rows: bool):
+    """Residuals, per-ROW IRLS weights, and Jacobian blocks for a camera
+    shard. Rows = (u, v) or (u, v, depth) when depth_rows."""
     X = mp_pos[jnp.clip(mp_id, 0)]                             # [c, F, 3]
     T_inv = SE3(cam_q[:, None, :], cam_t[:, None, :]).inverse()
     pc = T_inv.apply(X)
@@ -87,13 +103,23 @@ def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr):
         ],
         axis=-2,
     )
+    cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0) * active)
+    w_rows = jnp.stack([w, w], axis=-1)                        # [c, F, R]
+    if depth_rows:
+        r_z, w_dr, cost_d = _depth_row_terms(z, z_meas, w_d, active)
+        cost = cost + cost_d
+        row_z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                 z.shape + (3,))[..., None, :]
+        J_proj = jnp.concatenate([J_proj, row_z], axis=-2)
+        r = jnp.concatenate([r, r_z[..., None]], axis=-1)
+        w_rows = jnp.concatenate(
+            [w_rows, (w_dr * in_front)[..., None]], axis=-1)
     R_cw = quat_to_matrix(quat_conj(cam_q))
-    J_pt = jnp.einsum("cfab,cbd->cfad", J_proj, R_cw)          # [c, F, 2, 3]
+    J_pt = jnp.einsum("cfab,cbd->cfad", J_proj, R_cw)          # [c, F, R, 3]
     J_cam = jnp.concatenate(
         [-J_pt, jnp.einsum("cfab,cfbd->cfad", J_pt, cross_matrix(X))], axis=-1
-    )                                                          # [c, F, 2, 6]
-    cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0) * active)
-    return r, w, J_cam, J_pt, cost
+    )                                                          # [c, F, R, 6]
+    return r, w_rows, J_cam, J_pt, cost
 
 
 def _inv6x6(M):
@@ -101,23 +127,24 @@ def _inv6x6(M):
 
 
 def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                  Pn: int):
+                  Pn: int, depth_rows: bool = False):
     """Unjitted shard_map step; damping is a traced replicated scalar so
     one executable serves the whole LM damping schedule."""
 
-    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
-               anchor_mp, damping):
+    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
+               cam_free, mp_pos, anchor_mp, damping):
         # local camera shard: [c, ...] with c = C / n_devices
         c = cam_q.shape[0]
         r, w, J_cam, J_pt, local_cost = _per_obs_terms(
-            cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos, intr)
+            cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d, mp_pos,
+            intr, depth_rows)
         cost = jax.lax.psum(local_cost, axis)
 
         obs_p = jnp.where(active, mp_id, Pn).reshape(-1)
 
         # landmark system: psum over camera shards -> replicated
-        Hp_obs = jnp.einsum("cfri,cf,cfrj->cfij", J_pt, w, J_pt)
-        bp_obs = -jnp.einsum("cfri,cf,cfr->cfi", J_pt, w, r)
+        Hp_obs = jnp.einsum("cfri,cfr,cfrj->cfij", J_pt, w, J_pt)
+        bp_obs = -jnp.einsum("cfri,cfr,cfr->cfi", J_pt, w, r)
         H_pp = jax.lax.psum(
             jnp.zeros((Pn, 3, 3)).at[obs_p].add(Hp_obs.reshape(-1, 3, 3),
                                                 mode="drop"), axis)
@@ -138,10 +165,10 @@ def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
 
         # camera blocks (local)
         maskc = cam_free.astype(jnp.float32)
-        H_cc = jnp.einsum("cfri,cf,cfrj->cij", J_cam, w, J_cam)
+        H_cc = jnp.einsum("cfri,cfr,cfrj->cij", J_cam, w, J_cam)
         H_cc = H_cc * dscale * jnp.eye(6) + H_cc * (1 - jnp.eye(6))
-        b_c = -jnp.einsum("cfri,cf,cfr->ci", J_cam, w, r) * maskc[:, None]
-        U = jnp.einsum("cfri,cf,cfrj->cfij", J_cam, w, J_pt)   # [c, F, 6, 3]
+        b_c = -jnp.einsum("cfri,cfr,cfr->ci", J_cam, w, r) * maskc[:, None]
+        U = jnp.einsum("cfri,cfr,cfrj->cfij", J_cam, w, J_pt)  # [c, F, 6, 3]
         U = U * maskc[:, None, None, None]
 
         # reduced rhs: b~ = b_c - U Hpp^-1 b_p  (local, b_p replicated)
@@ -221,16 +248,18 @@ def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
         kernel,
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
-                  sharded, rep, rep, rep),
+                  sharded, sharded, sharded, rep, rep, rep),
         out_specs=(sharded, sharded, rep, rep),
     )
 
 
-def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str):
+def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str,
+                  depth_rows: bool = False):
     """Unjitted shard_map robust-cost evaluator (no Jacobians): the cheap
     half of the LM accept/reject test."""
 
-    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos):
+    def kernel(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
+               mp_pos):
         X = mp_pos[jnp.clip(mp_id, 0)]
         T_inv = SE3(cam_q[:, None, :], cam_t[:, None, :]).inverse()
         pc = T_inv.apply(X)
@@ -241,20 +270,24 @@ def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str):
         n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
         cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0)
                        * active)
+        if depth_rows:
+            _, _, cost_d = _depth_row_terms(z, z_meas, w_d, active)
+            cost = cost + cost_d
         return jax.lax.psum(cost, axis)
 
     sharded = P(axis)
     rep = P()
     return _shard_map(kernel, mesh=mesh,
                       in_specs=(sharded, sharded, sharded, sharded, sharded,
-                                sharded, rep),
+                                sharded, sharded, sharded, rep),
                       out_specs=P())
 
 
 @functools.lru_cache(maxsize=16)
 def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                Pn: int):
-    return jax.jit(_make_step_fn(intr, mesh, axis, pcg_iters, Pn))
+                Pn: int, depth_rows: bool):
+    return jax.jit(_make_step_fn(intr, mesh, axis, pcg_iters, Pn,
+                                 depth_rows))
 
 
 def global_ba_step(
@@ -264,34 +297,38 @@ def global_ba_step(
     axis: str = "stream",
     pcg_iters: int = 30,
     damping: float = 1e-4,
+    depth_rows: bool = False,
 ) -> tuple[GlobalBAData, jnp.ndarray]:
     """One damped Gauss-Newton step of global BA, sharded over ``axis``.
     Returns (updated data, pre-step robust cost). UNGUARDED: the step is
     applied even if it increases the cost — prefer global_ba_solve."""
-    step = _build_step(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0])
+    step = _build_step(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0],
+                       depth_rows)
     with jax.default_matmul_precision("highest"):
         cam_q, cam_t, mp_pos, cost = step(
             data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
-            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp,
-            jnp.float32(damping))
+            data.w_z, data.z_meas, data.w_d, data.cam_free, data.mp_pos,
+            data.anchor_mp, jnp.float32(damping))
     return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), cost
 
 
 @functools.lru_cache(maxsize=16)
 def _build_solve(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                 Pn: int, iters: int):
-    step = _make_step_fn(intr, mesh, axis, pcg_iters, Pn)
-    costf = _make_cost_fn(intr, mesh, axis)
+                 Pn: int, iters: int, depth_rows: bool):
+    step = _make_step_fn(intr, mesh, axis, pcg_iters, Pn, depth_rows)
+    costf = _make_cost_fn(intr, mesh, axis, depth_rows)
 
-    def solve(cam_q, cam_t, obs_uv, mp_id, active, w_z, cam_free, mp_pos,
-              anchor_mp, lam0):
-        cost0 = costf(cam_q, cam_t, obs_uv, mp_id, active, w_z, mp_pos)
+    def solve(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
+              cam_free, mp_pos, anchor_mp, lam0):
+        cost0 = costf(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas,
+                      w_d, mp_pos)
 
         def body(i, carry):
             cam_q, cam_t, mp_pos, lam, cost, hist = carry
             nq, nt, nmp, _ = step(cam_q, cam_t, obs_uv, mp_id, active, w_z,
-                                  cam_free, mp_pos, anchor_mp, lam)
-            nc = costf(nq, nt, obs_uv, mp_id, active, w_z, nmp)
+                                  z_meas, w_d, cam_free, mp_pos, anchor_mp,
+                                  lam)
+            nc = costf(nq, nt, obs_uv, mp_id, active, w_z, z_meas, w_d, nmp)
             # Ceres-style trust region (Optimizers.cpp:203 uses
             # LEVENBERG_MARQUARDT): accept only strict descent; shrink
             # damping on success, grow it on rejection and retry.
@@ -322,6 +359,7 @@ def global_ba_solve(
     iters: int = 5,
     pcg_iters: int = 30,
     init_damping: float = 1e-4,
+    depth_rows: bool = False,
 ) -> tuple[GlobalBAData, jnp.ndarray]:
     """LM-guarded global BA: ``iters`` accept/reject trust-region rounds
     in ONE compiled program. Returns (data, costs[iters+1]) where
@@ -329,12 +367,12 @@ def global_ba_solve(
     after round i (flat where a step was rejected) — monotone
     non-increasing by construction."""
     solve = _build_solve(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0],
-                         iters)
+                         iters, depth_rows)
     with jax.default_matmul_precision("highest"):
         cam_q, cam_t, mp_pos, cost0, hist = solve(
             data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
-            data.w_z, data.cam_free, data.mp_pos, data.anchor_mp,
-            jnp.float32(init_damping))
+            data.w_z, data.z_meas, data.w_d, data.cam_free, data.mp_pos,
+            data.anchor_mp, jnp.float32(init_damping))
     costs = jnp.concatenate([cost0[None], hist])
     return data._replace(cam_q=cam_q, cam_t=cam_t, mp_pos=mp_pos), costs
 
@@ -362,6 +400,8 @@ def from_map_state(state, intr: Intrinsics, cfg, n_cams: int):
         mp_id=prob.mp_id,
         active=prob.active,
         w_z=jnp.where(prob.active, prob.w_z, 0.0),
+        z_meas=jnp.where(prob.active, prob.z_meas, 0.0),
+        w_d=jnp.where(prob.active, prob.w_d, 0.0),
         cam_free=cam_free,
         mp_pos=state.mp_pos,
         anchor_mp=prob.anchor_mp,
@@ -426,6 +466,8 @@ def make_synthetic_global_problem(rng, n_cams=8, n_pts=64, f_slots=64,
         mp_id=jnp.asarray(np.stack(mp_id)),
         active=jnp.asarray(np.stack(active)),
         w_z=jnp.ones((n_cams, f_slots), jnp.float32),
+        z_meas=jnp.zeros((n_cams, f_slots), jnp.float32),
+        w_d=jnp.zeros((n_cams, f_slots), jnp.float32),
         cam_free=jnp.asarray(cam_free),
         mp_pos=jnp.asarray(mp_pos),
         anchor_mp=jnp.int32(0),
@@ -443,7 +485,7 @@ def dryrun_sharded_global_ba(mesh: Mesh, axis: str = "stream") -> None:
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     data = GlobalBAData(
-        *[jax.device_put(x, shard) for x in data[:7]],
+        *[jax.device_put(x, shard) for x in data[:9]],
         jax.device_put(data.mp_pos, rep),
         jax.device_put(data.anchor_mp, rep),
     )

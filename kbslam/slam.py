@@ -104,14 +104,15 @@ def run_global_ba_on_map(map_state, intr: Intrinsics, ba_cfg,
     shard = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     data = GlobalBAData(
-        *[jax.device_put(x, shard) for x in data[:7]],
+        *[jax.device_put(x, shard) for x in data[:9]],
         jax.device_put(data.mp_pos, rep),
         jax.device_put(data.anchor_mp, rep),
     )
     # LM trust-region solve: accept/reject per round, monotone
     # non-increasing costs (Ceres' schedule, Optimizers.cpp:203)
     data, costs = global_ba_solve(data, intr, mesh, iters=steps,
-                                  pcg_iters=pcg_iters)
+                                  pcg_iters=pcg_iters,
+                                  depth_rows=ba_cfg.depth_residuals)
     new_map = write_back(map_state, data, slots, real)
     return new_map, [float(c) for c in np.asarray(costs)]
 

@@ -19,7 +19,7 @@ def place(data, mesh):
     shard = NamedSharding(mesh, P("stream"))
     rep = NamedSharding(mesh, P())
     return GlobalBAData(
-        *[jax.device_put(x, shard) for x in data[:7]],
+        *[jax.device_put(x, shard) for x in data[:9]],
         jax.device_put(data.mp_pos, rep),
         jax.device_put(data.anchor_mp, rep),
     )
@@ -102,7 +102,7 @@ def test_lm_guard_rejects_divergent_steps():
 
     def cost_of(d):
         return float(costf(d.cam_q, d.cam_t, d.obs_uv, d.mp_id, d.active,
-                           d.w_z, d.mp_pos))
+                           d.w_z, d.z_meas, d.w_d, d.mp_pos))
 
     # unguarded: the first fixed-damping step makes things WORSE
     d1, _ = global_ba_step(data, intr, mesh, pcg_iters=30, damping=1e-4)
