@@ -16,9 +16,14 @@ loads):
   - callers sort keypoints by (level, block-row, block-col) so
     consecutive steps reference the SAME blocks and the Pallas pipeline
     skips the redundant copies (orb.detect_and_compute does this);
-  - the 40x40 window is cut from each assembled 96x256 block with exact
-    one-hot selection matmuls at HIGHEST precision (TPU f32 dots
-    otherwise round through bf16).
+  - the 40x40 window is cut from each assembled 96x256 block with
+    one-hot selection matmuls. ``precision`` picks the MXU pass count
+    (measured, 3072 patches/call, hard-barriered): DEFAULT 1 bf16 pass,
+    1.30 ms, quantizes intensities to bf16 (max |err| 0.5 gray — the
+    production choice, config.patch_precision, ATE-validated);
+    "split3" 3 bf16 passes, 1.70 ms, BIT-IDENTICAL to f32 (see
+    _onehot_dot); HIGHEST ~6 passes, 1.80 ms. benchmarks/
+    exp_patch_precision.py reproduces the table.
 
 Constraints: stacked image [L, H, W] with H % 48 == 0 and W % 128 == 0
 (callers pad); y0 in [0, H-40], x0 in [0, W-40]; N % patches_per_step
@@ -37,6 +42,37 @@ _BH = 48   # block rows; 2 blocks -> 96 >= 40 + max dy 56
 _BW = 128  # block cols; 2 blocks -> 256 >= 40 + max dx 216
 
 
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32 (24 significand bits =
+    3 x 8): x == hi + mid + lo bit-exactly for the u8-range gray values
+    this kernel selects (each residual of round-to-nearest is exactly
+    representable, and three 8-bit chunks cover the f32 significand)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_dot(sel, x, dims, precision):
+    """sel @ x (or x @ sel) where ``sel`` is ONE-HOT 0/1. precision
+    "split3": sel is exact in bf16 and x splits exactly into 3 bf16
+    terms, so 3 native bf16 MXU passes reproduce the f32 result
+    bit-exactly — vs ~6 passes for a HIGHEST f32 dot (the asymmetry XLA
+    cannot exploit: it must split BOTH operands). Mosaic has no HIGH."""
+    if precision != "split3":
+        return jax.lax.dot_general(sel, x, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+    selb = sel.astype(jnp.bfloat16)
+    out = None
+    for term in _split3(x):
+        d = jax.lax.dot_general(selb, term, dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
 def _kernel(lv_ref, byf_ref, bxf_ref, dy_ref, dx_ref,
             *refs, S: int, P: int, precision):
     blocks, out_ref = refs[:-1], refs[-1]
@@ -51,17 +87,26 @@ def _kernel(lv_ref, byf_ref, bxf_ref, dy_ref, dx_ref,
         ri = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 0)
         rj = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * _BH), 1)
         rowsel = (rj == ri + dy).astype(jnp.float32)
-        rows = jax.lax.dot_general(
-            rowsel, blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)                          # [S, 256]
+        rows = _onehot_dot(rowsel, blk, (((1,), (0,)), ((), ())),
+                           precision)                     # [S, 256]
         ci = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 0)
         cj = jax.lax.broadcasted_iota(jnp.int32, (2 * _BW, S), 1)
         colsel = (ci == cj + dx).astype(jnp.float32)
-        out_ref[p] = jax.lax.dot_general(
-            rows, colsel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)
+        if precision == "split3":
+            # second selection: split the (exact f32) selected rows
+            selb = colsel.astype(jnp.bfloat16)
+            acc = None
+            for term in _split3(rows):
+                d = jax.lax.dot_general(
+                    term, selb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            out_ref[p] = acc
+        else:
+            out_ref[p] = jax.lax.dot_general(
+                rows, colsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
 
 
 @functools.partial(
