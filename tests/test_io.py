@@ -156,6 +156,31 @@ def test_cli_chunked_streaming_path(capsys):
     assert "ate_rmse_m" in s
 
 
+def test_cli_chunked_checkpoint_cull_roundtrip(tmp_path, capsys):
+    """The chunked path honors --cull and --save-checkpoint/--resume
+    (ADVICE r2: these flags used to be silently dropped with --chunk)."""
+    import json
+
+    from kbslam.cli import main
+
+    ckpt = str(tmp_path / "state.npz")
+    main(["--source", "synthetic", "--frames", "8", "--width", "160",
+          "--height", "120", "--ba", "off", "--chunk", "4", "--cull",
+          "--save-checkpoint", ckpt])
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["frames"] == 8 and s1["keyframes"] >= 1
+    assert os.path.exists(ckpt)
+
+    main(["--source", "synthetic", "--frames", "8", "--width", "160",
+          "--height", "120", "--ba", "off", "--chunk", "4", "--cull",
+          "--resume", ckpt])
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # resumed map already holds the first run's keyframes: the same
+    # opening frames re-track against it without re-inserting frame 0
+    assert s2["frames"] == 8
+    assert s2["success"] >= s1["success"]
+
+
 def test_tum_associate_one_to_one():
     """Jittery rgb timestamps must not pair two rgb frames with the same
     depth frame (standard TUM associate.py is one-to-one)."""
