@@ -68,18 +68,21 @@ class GlobalBAData(NamedTuple):
     # solver pins the anchor landmark itself.
 
 
-def _depth_row_terms(z, z_meas, w_d, active):
+def _depth_row_terms(z, z_meas, w_d, active, delta=1.0):
     """Third residual row (RGB-D depth, see BAConfig.depth_residuals):
-    unwhitened residual, IRLS weight, robust cost for a camera shard."""
+    unwhitened residual, IRLS weight, robust cost for a camera shard.
+    ``delta`` = Huber threshold on the whitened residual (BAConfig
+    .huber_delta — the local solvers use the same knob)."""
     r_z = z - z_meas
     rw = jnp.abs(jnp.sqrt(w_d) * r_z)
-    w_hub = jnp.minimum(1.0, 1.0 / jnp.maximum(rw, 1e-18))  # Huber delta=1
-    cost = jnp.sum(jnp.where(rw <= 1.0, rw * rw, 2.0 * rw - 1.0) * active)
+    w_hub = jnp.minimum(1.0, delta / jnp.maximum(rw, 1e-18))
+    cost = jnp.sum(jnp.where(rw <= delta, rw * rw,
+                             2.0 * delta * rw - delta * delta) * active)
     return r_z, w_d * w_hub * active, cost
 
 
 def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
-                   mp_pos, intr, depth_rows: bool):
+                   mp_pos, intr, depth_rows: bool, delta: float = 1.0):
     """Residuals, per-ROW IRLS weights, and Jacobian blocks for a camera
     shard. Rows = (u, v) or (u, v, depth) when depth_rows."""
     X = mp_pos[jnp.clip(mp_id, 0)]                             # [c, F, 3]
@@ -92,7 +95,7 @@ def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
     r = jnp.stack([u, v], axis=-1) - obs_uv
 
     n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
-    w = w_z * jnp.minimum(1.0, 1.0 / n) * active * in_front    # Huber delta=1
+    w = w_z * jnp.minimum(1.0, delta / n) * active * in_front  # Huber
 
     inv_z = 1.0 / z
     zero = jnp.zeros_like(z)
@@ -103,10 +106,11 @@ def _per_obs_terms(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
         ],
         axis=-2,
     )
-    cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0) * active)
+    cost = jnp.sum(w_z * jnp.where(n <= delta, n * n,
+                                   2.0 * delta * n - delta * delta) * active)
     w_rows = jnp.stack([w, w], axis=-1)                        # [c, F, R]
     if depth_rows:
-        r_z, w_dr, cost_d = _depth_row_terms(z, z_meas, w_d, active)
+        r_z, w_dr, cost_d = _depth_row_terms(z, z_meas, w_d, active, delta)
         cost = cost + cost_d
         row_z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
                                  z.shape + (3,))[..., None, :]
@@ -127,7 +131,8 @@ def _inv6x6(M):
 
 
 def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                  Pn: int, depth_rows: bool = False):
+                  Pn: int, depth_rows: bool = False,
+                  huber_delta: float = 1.0):
     """Unjitted shard_map step; damping is a traced replicated scalar so
     one executable serves the whole LM damping schedule."""
 
@@ -137,7 +142,7 @@ def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
         c = cam_q.shape[0]
         r, w, J_cam, J_pt, local_cost = _per_obs_terms(
             cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d, mp_pos,
-            intr, depth_rows)
+            intr, depth_rows, huber_delta)
         cost = jax.lax.psum(local_cost, axis)
 
         obs_p = jnp.where(active, mp_id, Pn).reshape(-1)
@@ -254,7 +259,7 @@ def _make_step_fn(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
 
 
 def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str,
-                  depth_rows: bool = False):
+                  depth_rows: bool = False, huber_delta: float = 1.0):
     """Unjitted shard_map robust-cost evaluator (no Jacobians): the cheap
     half of the LM accept/reject test."""
 
@@ -268,10 +273,11 @@ def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str,
         v = intr.fy * pc[..., 1] / z + intr.cy
         r = jnp.stack([u, v], axis=-1) - obs_uv
         n = jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-18))
-        cost = jnp.sum(w_z * jnp.where(n <= 1.0, n * n, 2.0 * n - 1.0)
+        d = huber_delta
+        cost = jnp.sum(w_z * jnp.where(n <= d, n * n, 2.0 * d * n - d * d)
                        * active)
         if depth_rows:
-            _, _, cost_d = _depth_row_terms(z, z_meas, w_d, active)
+            _, _, cost_d = _depth_row_terms(z, z_meas, w_d, active, d)
             cost = cost + cost_d
         return jax.lax.psum(cost, axis)
 
@@ -285,9 +291,9 @@ def _make_cost_fn(intr: Intrinsics, mesh: Mesh, axis: str,
 
 @functools.lru_cache(maxsize=16)
 def _build_step(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                Pn: int, depth_rows: bool):
+                Pn: int, depth_rows: bool, huber_delta: float = 1.0):
     return jax.jit(_make_step_fn(intr, mesh, axis, pcg_iters, Pn,
-                                 depth_rows))
+                                 depth_rows, huber_delta))
 
 
 def global_ba_step(
@@ -298,12 +304,13 @@ def global_ba_step(
     pcg_iters: int = 30,
     damping: float = 1e-4,
     depth_rows: bool = False,
+    huber_delta: float = 1.0,
 ) -> tuple[GlobalBAData, jnp.ndarray]:
     """One damped Gauss-Newton step of global BA, sharded over ``axis``.
     Returns (updated data, pre-step robust cost). UNGUARDED: the step is
     applied even if it increases the cost — prefer global_ba_solve."""
     step = _build_step(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0],
-                       depth_rows)
+                       depth_rows, huber_delta)
     with jax.default_matmul_precision("highest"):
         cam_q, cam_t, mp_pos, cost = step(
             data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,
@@ -314,9 +321,11 @@ def global_ba_step(
 
 @functools.lru_cache(maxsize=16)
 def _build_solve(intr: Intrinsics, mesh: Mesh, axis: str, pcg_iters: int,
-                 Pn: int, iters: int, depth_rows: bool):
-    step = _make_step_fn(intr, mesh, axis, pcg_iters, Pn, depth_rows)
-    costf = _make_cost_fn(intr, mesh, axis, depth_rows)
+                 Pn: int, iters: int, depth_rows: bool,
+                 huber_delta: float = 1.0):
+    step = _make_step_fn(intr, mesh, axis, pcg_iters, Pn, depth_rows,
+                         huber_delta)
+    costf = _make_cost_fn(intr, mesh, axis, depth_rows, huber_delta)
 
     def solve(cam_q, cam_t, obs_uv, mp_id, active, w_z, z_meas, w_d,
               cam_free, mp_pos, anchor_mp, lam0):
@@ -360,6 +369,7 @@ def global_ba_solve(
     pcg_iters: int = 30,
     init_damping: float = 1e-4,
     depth_rows: bool = False,
+    huber_delta: float = 1.0,
 ) -> tuple[GlobalBAData, jnp.ndarray]:
     """LM-guarded global BA: ``iters`` accept/reject trust-region rounds
     in ONE compiled program. Returns (data, costs[iters+1]) where
@@ -367,7 +377,7 @@ def global_ba_solve(
     after round i (flat where a step was rejected) — monotone
     non-increasing by construction."""
     solve = _build_solve(intr, mesh, axis, pcg_iters, data.mp_pos.shape[0],
-                         iters, depth_rows)
+                         iters, depth_rows, huber_delta)
     with jax.default_matmul_precision("highest"):
         cam_q, cam_t, mp_pos, cost0, hist = solve(
             data.cam_q, data.cam_t, data.obs_uv, data.mp_id, data.active,

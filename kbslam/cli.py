@@ -161,7 +161,8 @@ def main(argv=None):
         d = slam.process(rgb, depth, mask if args.mask else None)
         if gt is not None:
             gts.append(gt)
-        if viewer is not None:
+        if viewer is not None and (not args.viewer_every
+                                   or n % args.viewer_every == 0):
             traj = np.stack([T[:3, 3] for T in slam.frame_poses])
             viewer.update(traj, slam.keyframe_positions(), slam.map_points(),
                           rgb, depth, mask)
@@ -192,7 +193,9 @@ def main(argv=None):
 
         gt_arr = np.stack(gts)
         summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
-        if mode != "disabled":
+        # refinement helps whenever ANY solver touched the keyframes —
+        # per-keyframe local BA or the end-of-run --global-ba solve
+        if mode != "disabled" or args.global_ba:
             refn = slam.refined_trajectory()
             summary["ate_rmse_refined_m"] = ate_rmse(refn[:, :3, 3],
                                                      gt_arr[:, :3, 3])
@@ -225,7 +228,7 @@ def _run_chunked(args, cfg, K, frames, dist):
 
     from kbslam.geom.camera import Intrinsics
     from kbslam.pipeline import init_state
-    from kbslam.slam import (_quat_to_matrix_np, map_keyframe_positions,
+    from kbslam.slam import (pose_T, map_keyframe_positions,
                              map_point_positions)
     from kbslam.streaming import ChunkedStream
     from kbslam.viz.rerun_viewer import Viewer
@@ -286,12 +289,7 @@ def _run_chunked(args, cfg, K, frames, dist):
 
         save_checkpoint(args.save_checkpoint, cs.state)
 
-    est = []
-    for r in results:
-        T = np.eye(4)
-        T[:3, :3] = _quat_to_matrix_np(r["pose_q"])
-        T[:3, 3] = r["pose_t"]
-        est.append(T)
+    est = [pose_T(r["pose_q"], r["pose_t"]) for r in results]
     est = np.stack(est) if est else np.zeros((0, 4, 4))
     summary = dict(
         frames=n,
@@ -307,7 +305,7 @@ def _run_chunked(args, cfg, K, frames, dist):
 
         gt_arr = np.stack(gts)
         summary["ate_rmse_m"] = ate_rmse(est[:, :3, 3], gt_arr[:, :3, 3])
-        if cs.ba_stats:
+        if cs.ba_stats or args.global_ba:
             from kbslam.slam import refine_frame_poses
 
             anchors = [(r["anchor_id"], _anchor_T(r)) for r in results]
@@ -329,12 +327,9 @@ def _run_chunked(args, cfg, K, frames, dist):
 
 
 def _anchor_T(r):
-    from kbslam.slam import _quat_to_matrix_np
+    from kbslam.slam import pose_T
 
-    T = np.eye(4)
-    T[:3, :3] = _quat_to_matrix_np(r["anchor_q"])
-    T[:3, 3] = r["anchor_t"]
-    return T
+    return pose_T(r["anchor_q"], r["anchor_t"])
 
 
 if __name__ == "__main__":

@@ -31,11 +31,13 @@ class OrbConfig:
     # Padded feature capacity — multiple of 128 for MXU-friendly shapes.
     max_features: int = 3072
     # Matmul precision of the Pallas patch-gather's one-hot selection
-    # dots ("highest" | "default"). The selector side is 0/1 (bf16
-    # exact); "default" (one bf16 pass) only rounds the blurred
+    # dots ("default" | "split3" | "highest"). The selector side is 0/1
+    # (bf16 exact); "default" (one bf16 pass) only rounds the blurred
     # intensities ~0.2%, which perturbs a small fraction of BRIEF
     # comparisons. TPU A/B: track step 4.52 -> 4.10 ms, ATE 5.65 vs
-    # 5.67 mm, inliers unchanged — "default" wins.
+    # 5.67 mm, inliers unchanged — "default" wins. "split3" (3 passes,
+    # asymmetric bf16 split) is BIT-exact f32 and beats "highest"
+    # (~6 passes) 1.70 vs 1.80 ms/call — the exact option if needed.
     patch_precision: str = "default"
 
 

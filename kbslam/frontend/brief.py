@@ -135,8 +135,15 @@ def extract_patches(
         Wp = max(-(-W // 128) * 128, 2 * 128)
         if (Hp, Wp) != (H, W):
             stacked = jnp.pad(stacked, ((0, 0), (0, Hp - H), (0, Wp - W)))
-        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-                else jax.lax.Precision.DEFAULT)
+        try:
+            prec = {"highest": jax.lax.Precision.HIGHEST,
+                    "default": jax.lax.Precision.DEFAULT,
+                    "split3": "split3"}[precision]
+        except KeyError:
+            raise ValueError(
+                f"patch_precision {precision!r}: expected 'default' "
+                "(1 bf16 pass, production), 'split3' (3 passes, "
+                "bit-exact f32), or 'highest' (~6 passes)") from None
         return extract_patches_pallas(stacked, level, y0, x0,
                                       precision=prec).reshape(
             n, _PATCH_S * _PATCH_S)

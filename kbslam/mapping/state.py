@@ -28,6 +28,17 @@ from kbslam.matching.hamming import MatchResult
 NO_MP = -1
 
 
+@jax.jit
+def device_copy(tree):
+    """Fresh device buffers for a state tree (jitted identity XLA cannot
+    alias away: arithmetic no-op per dtype, bools get ``& True``).
+    Needed wherever tracking DONATES its buffers but a snapshot must
+    survive the next step — async-BA snapshots (slam.py, streaming.py)
+    and bench fresh-window capture."""
+    return jax.tree.map(lambda x: x + 0 if x.dtype != bool else x & True,
+                        tree)
+
+
 class MapState(NamedTuple):
     # --- keyframe ring (capacity M = max_keyframes) -----------------------
     kf_q: jnp.ndarray        # [M, 4] T_wc rotation (reference sophPose)

@@ -39,6 +39,14 @@ def _quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
     ])
 
 
+def pose_T(q, t) -> np.ndarray:
+    """Host-side 4x4 SE(3) from a (w,x,y,z) quaternion + translation."""
+    T = np.eye(4)
+    T[:3, :3] = _quat_to_matrix_np(q)
+    T[:3, 3] = np.asarray(t, dtype=np.float64)
+    return T
+
+
 def refine_frame_poses(frame_poses, frame_anchors, map_state) -> np.ndarray:
     """Post-hoc keyframe-anchored trajectory correction (see
     SLAM.refined_trajectory). frame_anchors: [(anchor_kf_id, T_anchor
@@ -51,10 +59,7 @@ def refine_frame_poses(frame_poses, frame_anchors, map_state) -> np.ndarray:
     for T, (aid, Ta) in zip(frame_poses, frame_anchors):
         if aid >= 0 and aid in live:
             s = live[aid]
-            Tf = np.eye(4)
-            Tf[:3, :3] = _quat_to_matrix_np(kf_q[s])
-            Tf[:3, 3] = kf_t[s]
-            T = Tf @ np.linalg.inv(Ta) @ T
+            T = pose_T(kf_q[s], kf_t[s]) @ np.linalg.inv(Ta) @ T
         out.append(T)
     return np.stack(out) if out else np.zeros((0, 4, 4))
 
@@ -112,7 +117,8 @@ def run_global_ba_on_map(map_state, intr: Intrinsics, ba_cfg,
     # non-increasing costs (Ceres' schedule, Optimizers.cpp:203)
     data, costs = global_ba_solve(data, intr, mesh, iters=steps,
                                   pcg_iters=pcg_iters,
-                                  depth_rows=ba_cfg.depth_residuals)
+                                  depth_rows=ba_cfg.depth_residuals,
+                                  huber_delta=ba_cfg.huber_delta)
     new_map = write_back(map_state, data, slots, real)
     return new_map, [float(c) for c in np.asarray(costs)]
 
@@ -148,9 +154,9 @@ class SLAM:
             self._merge = make_merge(config.ba)
             # tracking donates its state buffers every frame, so the
             # snapshot must be a real copy
-            self._copy_map = jax.jit(
-                lambda m: jax.tree.map(lambda x: x + 0 if x.dtype != bool
-                                       else x & True, m))
+            from kbslam.mapping.state import device_copy
+
+            self._copy_map = device_copy
         self._ba_inflight = None  # (snapshot_map, result_map, stats)
         if config.cull.enabled:
             from kbslam.mapping.cull import cull_keyframes
@@ -211,15 +217,11 @@ class SLAM:
         elif self.ba_mode == "async":
             ran_ba = self._async_ba_tick(bool(o.added_kf))
 
-        T = np.eye(4)
-        T[:3, :3] = _quat_to_matrix_np(np.asarray(o.pose_q))
-        T[:3, 3] = o.pose_t
+        T = pose_T(np.asarray(o.pose_q), o.pose_t)
         if bool(o.success) or self._frame == 0:
             self.trajectory.append(T)
         self.frame_poses.append(T)
-        Ta = np.eye(4)
-        Ta[:3, :3] = _quat_to_matrix_np(np.asarray(o.anchor_q))
-        Ta[:3, 3] = o.anchor_t
+        Ta = pose_T(np.asarray(o.anchor_q), o.anchor_t)
         self.frame_anchors.append((int(o.anchor_id), Ta))
 
         diag = dict(

@@ -132,9 +132,9 @@ class ChunkedStream:
             self._merge = make_merge(cfg.ba)
             # tracking donates its state buffers every chunk, so the
             # snapshot must be a real copy
-            self._copy_map = jax.jit(
-                lambda m: jax.tree.map(lambda x: x + 0 if x.dtype != bool
-                                       else x & True, m))
+            from kbslam.mapping.state import device_copy
+
+            self._copy_map = device_copy
         self._ba_inflight = None  # (snapshot_map, result_map, stats)
         if cfg.cull.enabled:
             from kbslam.mapping.cull import cull_keyframes
