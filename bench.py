@@ -74,7 +74,10 @@ def main():
     from kbslam.pipeline import track_step as _track_step
     import jax.numpy as _jnp
 
-    reps_in_chunk = 10  # 220 frames per dispatch: device time >> tunnel RTT
+    # 880 frames per dispatch: the ~25 ms tunnel dispatch RTT amortizes to
+    # ~0.03 ms/frame (at 220 it was ~0.10 ms/frame — measured in
+    # benchmarks/exp_chunksize.py: 453.0 FPS @ 220 vs 474.8 FPS @ 880)
+    reps_in_chunk = 40
     rgb_dev = jnp.asarray(
         np.stack([seq.rgb[j] for j in order * reps_in_chunk]))
     dep_dev = jnp.asarray(
@@ -106,6 +109,34 @@ def main():
         # the bytes must actually arrive on the host
         np.asarray(ninl)
         fps = max(fps, chunk / (time.perf_counter() - t0))
+
+    # --- strict-parity config: track vs the LAST keyframe only ------------
+    # (track_keyframes=1 = the reference's exact matching behavior,
+    # VisualOdometry.cpp:36-39; the shipping default NK=3 buys accuracy
+    # for ~10% frame cost). Same scan, same barrier.
+    _log(f"headline nk3: {fps:.0f} fps; compiling strict-parity nk1 scan")
+    cfg_nk1 = cfg.replace(track_keyframes=1)
+
+    def scan_body_nk1(st, xs):
+        rgb, dep = xs
+        key = jax.random.fold_in(jax.random.PRNGKey(0), st.frame_count)
+        st, o = _track_step(st, rgb, dep, None, key, intr, cfg_nk1)
+        return st, o.num_inliers
+
+    @jax.jit
+    def scan_chunk_nk1(st, rgb, dep):
+        return jax.lax.scan(scan_body_nk1, st, (rgb, dep))
+
+    st1 = init_state(cfg_nk1)
+    st1, ninl1 = scan_chunk_nk1(st1, rgb_dev, dep_dev)
+    np.asarray(ninl1)
+    fps_nk1 = 0.0
+    for _rep in range(5):
+        t0 = time.perf_counter()
+        st1, ninl1 = scan_chunk_nk1(st1, rgb_dev, dep_dev)
+        np.asarray(ninl1)
+        fps_nk1 = max(fps_nk1, chunk / (time.perf_counter() - t0))
+    del st1, ninl1
 
     # --- host->device link bandwidth (the streaming ceiling) --------------
     # through the axon tunnel this is 20-60 MB/s and fluctuates; on a
@@ -316,6 +347,7 @@ def main():
             "streaming_note": "tunnel link is 20-60 MB/s (measured above); "
                               "at 0.92 MB/frame gray+depth the streaming "
                               "ceiling is link-bound, not compute-bound",
+            "tracked_fps_nk1_strict_parity": round(fps_nk1, 1),
             "multistream_fps_8x": round(ms_fps, 1),
             "keyframes": n_kf,
             "last_frame_inliers": int(o.num_inliers),
