@@ -251,9 +251,8 @@ def main():
     # dispatch (operands vary per iteration, stats fully consumed).
     _log("capturing fresh pre-BA windows")
     from kbslam.ba.local_ba import local_ba as _local_ba, make_local_ba
+    from kbslam.mapping.state import device_copy as copy_map
 
-    copy_map = jax.jit(lambda m: jax.tree.map(
-        lambda x: x + 0 if x.dtype != bool else x & True, m))
     ba_jit = make_local_ba(cfg.ba, intr)
     fresh = []
     st = state

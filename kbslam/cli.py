@@ -284,13 +284,14 @@ def _run_chunked(args, cfg, K, frames, dist):
         cs.state = cs.state._replace(map=new_map)
         print(f"global BA cost: {costs[0]:.2f} -> {costs[-1]:.2f}",
               file=sys.stderr)
+    est = [pose_T(r["pose_q"], r["pose_t"]) for r in results]
+    est = np.stack(est) if est else np.zeros((0, 4, 4))
     if args.save_checkpoint:
         from kbslam.io.checkpoint import save_checkpoint
 
-        save_checkpoint(args.save_checkpoint, cs.state)
-
-    est = [pose_T(r["pose_q"], r["pose_t"]) for r in results]
-    est = np.stack(est) if est else np.zeros((0, 4, 4))
+        # include the per-frame trajectory, matching the per-frame path's
+        # checkpoint contents (load_checkpoint's trajectory slot)
+        save_checkpoint(args.save_checkpoint, cs.state, trajectory=list(est))
     summary = dict(
         frames=n,
         success=sum(r["success"] for r in results),

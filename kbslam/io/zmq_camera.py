@@ -111,8 +111,13 @@ def _unpack_intrinsics(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
                 np.asarray(meta.get("dist", [0] * 5), np.float64))
     m = _pb2().Intrinsics.FromString(bytes(buf))
     K = np.array([[m.fx, 0, m.ppx], [0, m.fy, m.ppy], [0, 0, 1.0]])
-    dist = np.zeros(5)
-    dist[:len(m.coeffs)] = list(m.coeffs)[:5]
+    # Keep the coefficient vector at full length (padded to >= 5): an
+    # 8-coefficient rational model must reach Intrinsics.from_matrix's
+    # unsupported-model guard (geom/camera.py), not be silently cut to 5
+    # here — that would undistort with wrong geometry and no error.
+    coeffs = [float(c) for c in m.coeffs]
+    dist = np.zeros(max(5, len(coeffs)))
+    dist[:len(coeffs)] = coeffs
     return K, dist
 
 
@@ -131,6 +136,7 @@ class ZMQCamera:
         self._K: Optional[np.ndarray] = None
         self._dist: Optional[np.ndarray] = None
         self._k_ready = threading.Event()
+        self._error: Optional[BaseException] = None
         self._run = True
         self._thread = threading.Thread(target=self._capture, daemon=True)
         self._thread.start()
@@ -147,6 +153,15 @@ class ZMQCamera:
         poller.register(sock, zmq.POLLIN)
         try:
             self._capture_loop(sock, poller)
+        except BaseException as e:  # noqa: BLE001 — surfaced to consumers
+            # A malformed payload (e.g. a publisher speaking a different
+            # as-serializers schema variant) must not die silently in this
+            # daemon thread and present as a generic timeout downstream:
+            # record it so grab_frames/get_intrinsics re-raise with cause.
+            with self._lock:
+                self._error = e
+                self._lock.notify_all()
+            self._k_ready.set()
         finally:
             # the socket lives and dies on the capture thread (zmq
             # sockets are not thread-safe); close() only signals + joins
@@ -189,6 +204,10 @@ class ZMQCamera:
         deadline = time.monotonic() + (timeout or self._timeout_s)
         with self._lock:
             while self._frames is None and not self._eof:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "camera capture thread failed while decoding a "
+                        "payload") from self._error
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     raise TimeoutError(
@@ -203,6 +222,10 @@ class ZMQCamera:
     def get_intrinsics(self) -> Tuple[np.ndarray, np.ndarray]:
         if not self._k_ready.wait(self._timeout_s):
             raise TimeoutError("no intrinsics received")
+        if self._K is None:
+            raise RuntimeError(
+                "camera capture thread failed before intrinsics arrived"
+            ) from self._error
         return self._K, self._dist
 
     def close(self):

@@ -203,8 +203,14 @@ class ChunkedStream:
         if self._ba_inflight is not None:
             snapshot, result, stats = self._ba_inflight
             if block:
-                jax.block_until_ready(stats)
-            if all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
+                # Hard barrier: block_until_ready can return before work
+                # completes on the tunneled runtime (CLAUDE.md gotcha #2),
+                # which would skip the final merge below and drop the last
+                # solve. device_get moves bytes to the host — a real barrier
+                # — and the merge under block is unconditional, mirroring
+                # SLAM.finish.
+                jax.device_get(stats)
+            if block or all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
                 self.state = self.state._replace(
                     map=self._merge(self.state.map, snapshot, result))
                 self._record_ba_stats(stats)

@@ -170,6 +170,10 @@ def test_cli_chunked_checkpoint_cull_roundtrip(tmp_path, capsys):
     s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s1["frames"] == 8 and s1["keyframes"] >= 1
     assert os.path.exists(ckpt)
+    # chunked checkpoints carry the per-frame trajectory like the
+    # per-frame path's (code-review r3 fix)
+    with np.load(ckpt) as z:
+        assert "trajectory" in z.files and z["trajectory"].shape == (8, 4, 4)
 
     main(["--source", "synthetic", "--frames", "8", "--width", "160",
           "--height", "120", "--ba", "off", "--chunk", "4", "--cull",
@@ -270,6 +274,58 @@ def test_zmq_proto_round_trip():
     pub.publish_end()
     time.sleep(0.2)
     assert cam.grab_frames(timeout=2.0) is None
+    cam.close()
+    pub.close()
+
+
+def test_proto_intrinsics_full_coeffs_reach_model_guard():
+    """An 8-coefficient (OpenCV rational-model) proto Intrinsics must NOT
+    be silently truncated to 5 by the decoder — the full vector has to
+    reach Intrinsics.from_matrix so its unsupported-model ValueError
+    fires (code-review r3: the two wire formats validated inconsistently)."""
+    pytest.importorskip("google.protobuf")
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.io.zmq_camera import _pb2, _unpack_intrinsics
+
+    buf = _pb2().Intrinsics(
+        fx=525.0, fy=525.0, ppx=319.5, ppy=239.5,
+        coeffs=[0.1, -0.2, 0.0, 0.0, 0.05, 0.3, 0.01, 0.002],
+    ).SerializeToString()
+    K, dist = _unpack_intrinsics(buf)
+    assert len(dist) == 8 and dist[5] == 0.3
+    with pytest.raises(ValueError, match="unsupported distortion model"):
+        Intrinsics.from_matrix(K, dist)
+    # zero tail (proto always serializes what it was given) still accepted
+    buf5 = _pb2().Intrinsics(fx=525.0, fy=525.0, ppx=319.5, ppy=239.5,
+                             coeffs=[0.1, -0.2, 0.0, 0.0, 0.05, 0.0, 0.0, 0.0]
+                             ).SerializeToString()
+    K5, dist5 = _unpack_intrinsics(buf5)
+    intr = Intrinsics.from_matrix(K5, dist5)
+    assert intr.dist == (0.1, -0.2, 0.0, 0.0, 0.05)
+
+
+def test_zmq_capture_decode_error_surfaces():
+    """A malformed frame payload must surface as a decode error on the
+    consumer thread, not kill the capture thread and present as a
+    generic timeout (code-review r3)."""
+    pytest.importorskip("zmq")
+    from kbslam.io.zmq_camera import FramePublisher, RGBD_TOPIC, ZMQCamera
+
+    pub = FramePublisher("tcp://*:5713")
+    cam = ZMQCamera("tcp://localhost:5713", timeout_s=10.0)
+    time.sleep(0.3)
+    K = np.eye(3) * 100.0
+    for _ in range(50):
+        pub.publish_intrinsics(K)
+        try:
+            cam.get_intrinsics()
+            break
+        except TimeoutError:
+            continue
+    # garbage that fails both the raw length check and the proto parse
+    pub._sock.send_multipart([RGBD_TOPIC, b"\xff" * 37, b"\xff", b"\xff"])
+    with pytest.raises(RuntimeError, match="capture thread failed"):
+        cam.grab_frames(timeout=5.0)
     cam.close()
     pub.close()
 

@@ -254,3 +254,27 @@ def test_chunked_async_ba_on_hard_scene():
     refined_pf = slam.refined_trajectory()
     ate_pf_ref = ate_rmse(refined_pf[:, :3, 3], seq.poses[:, :3, 3])
     assert ate_ba_ref <= 1.10 * ate_pf_ref + 1e-3, (ate_ba_ref, ate_pf_ref)
+
+
+def test_flush_merges_inflight_ba_without_is_ready():
+    """flush() must merge a still-pending async solve UNCONDITIONALLY
+    under block=True: on the tunneled TPU runtime block_until_ready can
+    return before work completes (CLAUDE.md gotcha #2), so gating the
+    final merge on leaf.is_ready() silently dropped the last solve.
+    Simulated here by swapping the in-flight tree for host numpy arrays,
+    which have no is_ready at all — the merge may only happen via the
+    unconditional block path (code-review r3 fix)."""
+    cfg = _cfg()
+    seq = render_sequence(num_frames=16, height=120, width=160)
+    intr = Intrinsics.from_matrix(seq.K)
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=8, ba_mode="async")
+    for i in range(16):
+        cs.feed(seq.rgb[i], seq.depth[i])
+    assert cs._ba_inflight is not None, "no solve in flight after 2 chunks"
+    snapshot, result, stats = cs._ba_inflight
+    cs._ba_inflight = (snapshot, jax.device_get(result),
+                       jax.device_get(stats))
+    n_before = len(cs.ba_stats)
+    cs.flush()
+    assert cs._ba_inflight is None
+    assert len(cs.ba_stats) > n_before, "final in-flight solve was dropped"
