@@ -5,8 +5,11 @@ The round-3 xplane floor table shows 1.891 ms/frame of compute busy vs
 ~2.16 ms wall: a ~0.27 ms gap of dispatch RTT + per-iteration
 scheduling bubble. lax.scan(unroll=k) stitches k iterations into one
 loop body, letting XLA overlap the tail of frame i with the head of
-frame i+1. Sweeps unroll x track_keyframes (NK=3 default vs NK=1
-strict reference parity).
+frame i+1. Measures the unroll=1 baseline across track_keyframes
+(NK=3 default vs NK=1 strict reference parity) ONLY: unroll>=2 fails
+to compile on this toolchain — XLA relayouts the u8 [T,480,640,3]
+input channel-minor padded 3->128 lanes (42.7x allocation) and OOMs —
+so it was intentionally dropped from the sweep (see CLAUDE.md).
 
 Run on real TPU: python benchmarks/exp_scan_unroll.py
 """

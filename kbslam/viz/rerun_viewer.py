@@ -68,6 +68,41 @@ BLUEPRINT_SPEC = {
 }
 
 
+#: Entity paths logged every frame by Viewer.update (Viewer.cpp:24-83).
+LOGGED_PATHS = (
+    "/world/trajectory/points",
+    "/world/trajectory/keyframes",
+    "/world/trajectory/map",
+    "/camera/0/rgb",
+    "/camera/0/depth",
+    "/camera/0/mask",
+)
+
+
+def scan_blueprint_entity_paths(rbl_path: str) -> set:
+    """Extract entity-path-like strings from a binary Rerun blueprint
+    (.rbl, RRF2 container — the reference checks in
+    ``visual_odometry.rbl``, loaded by Viewer.cpp:8).
+
+    The container stores length-prefixed strings inside LZ4-style
+    compressed blocks, so a byte scan sees paths with occasional
+    artifacts: a trailing length/tag byte glued on ("camera/0/depth2")
+    or a head truncated by a compression back-reference
+    ("/camera/0/dep"). We return the raw candidates; callers should
+    treat a candidate as matching a known path when either is a string
+    prefix of the other (see tests/test_io.py blueprint-binding test).
+    """
+    import re
+
+    data = open(rbl_path, "rb").read()
+    cands = set()
+    for raw in re.findall(rb"/?(?:world|camera)[A-Za-z0-9_/]*", data):
+        s = raw.decode().rstrip("/").lstrip("/")
+        if s:
+            cands.add("/" + s)
+    return cands
+
+
 def make_blueprint():
     """Build the rerun Blueprint from BLUEPRINT_SPEC: 3D world view on
     the left, the rgb/depth/mask feeds stacked on the right. Returns

@@ -341,3 +341,44 @@ def test_proto_image_pack_unpack_all_types():
                 rng.integers(0, 2, (33, 41), dtype=np.uint8)):
         np.testing.assert_array_equal(_unpack(_pack_proto(arr)), arr)
         np.testing.assert_array_equal(_unpack(_pack(arr)), arr)
+
+
+def test_blueprint_spec_binds_to_reference_rbl():
+    """BLUEPRINT_SPEC must cover the reference's checked-in blueprint
+    (visual_odometry.rbl, loaded by Viewer.cpp:8): every entity path the
+    binary references must fall under one of our view origins / logged
+    paths, and every view origin we declare must exist in the binary.
+    Fails if the spec drifts from the reference's viewport layout.
+
+    Matching is mutual-prefix tolerant: the RRF2 container stores
+    length-prefixed strings in compressed blocks, so a scan sees
+    artifacts like 'camera/0/depth2' (glued tag byte) or
+    '/camera/0/dep' (head truncated by a back-reference)."""
+    import os
+
+    from kbslam.viz.rerun_viewer import (
+        BLUEPRINT_SPEC, LOGGED_PATHS, scan_blueprint_entity_paths)
+
+    rbl = "/root/reference/visual_odometry.rbl"
+    if not os.path.exists(rbl):
+        pytest.skip("reference blueprint not present")
+    found = scan_blueprint_entity_paths(rbl)
+    assert found, "scan found no entity paths — scanner broken?"
+
+    origins = [s["origin"] for s in BLUEPRINT_SPEC.values()]
+    known = set(origins) | set(LOGGED_PATHS)
+
+    def covered(cand):
+        return any(cand.startswith(k) or k.startswith(cand) for k in known)
+
+    uncovered = sorted(c for c in found if not covered(c))
+    assert not uncovered, f"rbl paths not covered by BLUEPRINT_SPEC: {uncovered}"
+
+    data = open(rbl, "rb").read()
+    for o in origins:
+        assert o.lstrip("/").encode() in data, (
+            f"declared view origin {o} absent from the reference blueprint")
+
+    # every logged path must be visible through some declared view
+    for p in LOGGED_PATHS:
+        assert any(p == o or p.startswith(o + "/") for o in origins), p
