@@ -99,6 +99,27 @@ def rotation_trajectory(num_frames: int, yaw_amplitude: float = 0.45,
     return np.stack(poses)
 
 
+def corridor_trajectory(num_frames: int, advance: float = 4.0,
+                        yaw_amplitude: float = 0.5) -> np.ndarray:
+    """Forward flight down a corridor with large yaw sweeps (~ +/-29 deg
+    default): the view alternates between the near side walls (~1.5 m)
+    and the far end wall (~8 m) — the depth-range mix and
+    rotation-under-translation case the plane families never produce."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(num_frames - 1, 1)
+        t = np.array([0.3 * np.sin(2 * np.pi * s),
+                      0.15 * np.sin(4 * np.pi * s),
+                      -2.5 + advance * s])
+        R = _roty(yaw_amplitude * np.sin(2 * np.pi * s)) @ _rotx(
+            0.1 * np.cos(2 * np.pi * s))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
+
+
 def render_sequence(
     num_frames: int = 60,
     height: int = 240,
@@ -107,10 +128,15 @@ def render_sequence(
     seed: int = 0,
     poses: Optional[np.ndarray] = None,
     moving_box: bool = False,
-    scene: str = "plane",        # "plane" | "spheres" (non-planar + occlusion)
+    scene: str = "plane",        # "plane" | "spheres" | "corridor"
     depth_noise_mm: float = 0.0,  # sensor-style sigma at 1 m (grows with z^2)
     depth_dropout: float = 0.0,   # fraction of pixels with depth holes
     texture_rects: int = 600,     # texture density (low = feature-starved)
+    specular: float = 0.0,        # view-dependent gloss strength (0-1):
+    # a moving highlight washes out texture and sheds non-repeatable
+    # rim gradients — the specular/low-texture failure family
+    hole_blobs: int = 0,          # depth-hole disks per frame (sensor
+    # dropout comes in blobs, not iid pixels)
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     tex = _texture(rng, num_rects=texture_rects)
@@ -128,6 +154,11 @@ def render_sequence(
             rng.uniform(-1.3, -0.35, n_sph),
         ], axis=1).astype(np.float32)
         sph_r = rng.uniform(0.18, 0.45, n_sph).astype(np.float32)
+    elif scene == "corridor":
+        # axis-aligned box interior: side walls x=+/-wx, floor/ceiling
+        # y=+/-wy, end walls z=z_end (far) / z_back (behind the start)
+        cor_wx, cor_wy = 1.5, 1.2
+        cor_zend, cor_zback = 6.0, -5.0
     elif scene != "plane":
         raise ValueError(f"unknown scene {scene!r}")
 
@@ -135,7 +166,8 @@ def render_sequence(
         [[fx, 0, (width - 1) / 2.0], [0, fx, (height - 1) / 2.0], [0, 0, 1.0]]
     )
     if poses is None:
-        poses = default_trajectory(num_frames)
+        poses = (corridor_trajectory(num_frames) if scene == "corridor"
+                 else default_trajectory(num_frames))
 
     us, vs = np.meshgrid(np.arange(width, dtype=np.float32),
                          np.arange(height, dtype=np.float32))
@@ -150,10 +182,32 @@ def render_sequence(
         T = poses[ti]
         R, t = T[:3, :3].astype(np.float32), T[:3, 3].astype(np.float32)
         d_world = dirs @ R.T                     # [H, W, 3]
-        # plane z = 0: t_z + s * d_z = 0
         dz = d_world[..., 2]
-        s = np.where(np.abs(dz) > 1e-9, -t[2] / dz, 1e9)
-        hit = (s > 0.05) & (s < 40.0)
+        if scene == "corridor":
+            # nearest positive hit among the 6 interior faces (the
+            # camera stays inside, so each axis contributes the face
+            # the ray points toward)
+            dx, dy = d_world[..., 0], d_world[..., 1]
+            eps = 1e-9
+            sx = np.where(np.abs(dx) > eps,
+                          np.where(dx > 0, cor_wx - t[0], -cor_wx - t[0])
+                          / np.where(np.abs(dx) > eps, dx, 1.0), 1e9)
+            sy = np.where(np.abs(dy) > eps,
+                          np.where(dy > 0, cor_wy - t[1], -cor_wy - t[1])
+                          / np.where(np.abs(dy) > eps, dy, 1.0), 1e9)
+            sz = np.where(np.abs(dz) > eps,
+                          np.where(dz > 0, cor_zend - t[2], cor_zback - t[2])
+                          / np.where(np.abs(dz) > eps, dz, 1.0), 1e9)
+            faces = np.stack([np.where(sx > 0.05, sx, 1e9),
+                              np.where(sy > 0.05, sy, 1e9),
+                              np.where(sz > 0.05, sz, 1e9)])
+            s = faces.min(0)
+            which_face = faces.argmin(0)  # 0=x-wall, 1=y-wall, 2=z-wall
+            hit = (s > 0.05) & (s < 40.0)
+        else:
+            # plane z = 0: t_z + s * d_z = 0
+            s = np.where(np.abs(dz) > 1e-9, -t[2] / dz, 1e9)
+            hit = (s > 0.05) & (s < 40.0)
         if scene == "spheres":
             # nearest positive ray-sphere hit, occluding the plane
             o_c = t[None, None, None, :] - sph_c[None, None, :, :]  # [H,W,S,3]
@@ -179,14 +233,57 @@ def render_sequence(
                           np.clip(sph_u.astype(int), 0, tex_size - 1)]
             s = np.where(sph_hit, s_near, s)
             hit = hit | sph_hit
+        if moving_box:
+            # A textured rigid object translating through the scene at
+            # its own depth plane — a REAL dynamic object: its features
+            # are corner-rich (attract ORB), carry consistent depth, and
+            # move together as a rigid wrong-motion cluster, which is
+            # exactly what the reference's static-element mask exists to
+            # reject (VisualOdometry.cpp:30, Camera mask ingress). A
+            # solid painted square only contributes 4 corners and never
+            # stresses the mask path.
+            box_z, box_hw = -1.0, 0.35
+            prog = ti / max(num_frames - 1, 1)
+            box_cx = -0.8 + 1.6 * prog
+            box_cy = 0.25 * np.sin(2 * np.pi * prog)
+            s_box = np.where(np.abs(dz) > 1e-9, (box_z - t[2]) / dz, 1e9)
+            pt_b = t[None, None, :] + s_box[..., None] * d_world
+            in_box = ((s_box > 0.05) & (s_box < s)
+                      & (np.abs(pt_b[..., 0] - box_cx) < box_hw)
+                      & (np.abs(pt_b[..., 1] - box_cy) < box_hw))
+            # texture anchored to the box (scrolls with it): descriptors
+            # stay repeatable frame-to-frame at the WRONG image motion
+            bwin, boff = 160, tex_size - 200
+            bu = ((pt_b[..., 0] - box_cx) / box_hw * 0.5 + 0.5) * (bwin - 1)
+            bv = ((pt_b[..., 1] - box_cy) / box_hw * 0.5 + 0.5) * (bwin - 1)
+            box_col = tex[boff + np.clip(bv.astype(int), 0, bwin - 1),
+                          boff + np.clip(bu.astype(int), 0, bwin - 1)]
+            s = np.where(in_box, s_box, s)
+            hit = hit | in_box
         pt = t[None, None, :] + s[..., None] * d_world
         # depth along camera z axis == s (rays have unit camera z)
         depth_m = np.where(hit, s, 0.0)
 
         # texture lookup (bilinear)
-        txf = (pt[..., 0] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
-        tyf = (pt[..., 1] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
-        inside = hit & (txf >= 0) & (txf < tex_size - 1) & (tyf >= 0) & (tyf < tex_size - 1)
+        if scene == "corridor":
+            # per-face planar uv in metres (x-walls: (z,y); y-walls:
+            # (z,x); z-walls: (x,y)), wrapped every 8 m; each face gets
+            # its own texture offset so opposite walls don't alias into
+            # identical descriptors
+            u_m = np.where(which_face == 2, pt[..., 0], pt[..., 2])
+            v_m = np.where(which_face == 0, pt[..., 1],
+                           np.where(which_face == 1, pt[..., 0],
+                                    pt[..., 1]))
+            face_dir = np.stack([d_world[..., 0], d_world[..., 1], dz])
+            side = np.take_along_axis(face_dir, which_face[None], 0)[0] > 0
+            off = which_face * 0.271 + side * 0.523
+            txf = ((u_m / 8.0 + off) % 1.0) * (tex_size - 1)
+            tyf = ((v_m / 8.0 + 0.37 * off) % 1.0) * (tex_size - 1)
+            inside = hit
+        else:
+            txf = (pt[..., 0] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
+            tyf = (pt[..., 1] / plane_extent * 0.5 + 0.5) * (tex_size - 1)
+            inside = hit & (txf >= 0) & (txf < tex_size - 1) & (tyf >= 0) & (tyf < tex_size - 1)
         tx0 = np.clip(txf.astype(int), 0, tex_size - 2)
         ty0 = np.clip(tyf.astype(int), 0, tex_size - 2)
         fxq = (txf - tx0)[..., None]
@@ -204,7 +301,29 @@ def render_sequence(
         if scene == "spheres":
             color = np.where(sph_hit[..., None], sph_col, color)
             inside = inside | sph_hit
-        rgb = np.where(inside[..., None], color, 0.0).astype(np.uint8)
+        if moving_box:
+            color = np.where(in_box[..., None], box_col, color)
+            inside = inside | in_box
+        if specular:
+            # Blinn-style gloss with the camera in the half-vector: the
+            # highlight MOVES as the camera moves, so its washed-out
+            # interior starves the detector and its rim sheds bright
+            # gradients that are not redetectable at the same surface
+            # point next frame
+            light = np.array([0.6, -0.8, -2.2], np.float32)
+            vdir = t[None, None, :] - pt
+            vdir = vdir / np.maximum(
+                np.linalg.norm(vdir, axis=-1, keepdims=True), 1e-6)
+            ldir = light[None, None, :] - pt
+            ldir = ldir / np.maximum(
+                np.linalg.norm(ldir, axis=-1, keepdims=True), 1e-6)
+            h = vdir + ldir
+            h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True),
+                               1e-6)
+            spec = np.clip(-h[..., 2], 0.0, 1.0) ** 48
+            color = color + 255.0 * specular * spec[..., None]
+        rgb = np.where(inside[..., None], np.clip(color, 0, 255),
+                       0.0).astype(np.uint8)
         depth_vis = np.where(inside, depth_m, 0.0)
         if depth_noise_mm:
             # sensor model: sigma grows quadratically with range
@@ -216,16 +335,19 @@ def render_sequence(
         if depth_dropout:
             keep = rng.random(depth_vis.shape) >= depth_dropout
             depth_vis = depth_vis * keep
+        if hole_blobs:
+            # blob-shaped sensor dropout: real depth holes cluster
+            # (specular surfaces, IR shadows), they are not iid pixels
+            for _ in range(hole_blobs):
+                hx = rng.uniform(0, width)
+                hy = rng.uniform(0, height)
+                hr = rng.uniform(8.0, 0.12 * min(height, width) + 8.0)
+                blob = (us - hx) ** 2 + (vs - hy) ** 2 < hr * hr
+                depth_vis = np.where(blob, 0.0, depth_vis)
         depth_mm = np.clip(depth_vis * 1000.0, 0, 65535).astype(np.uint16)
         mask = np.full((height, width), 255, np.uint8)
         if moving_box:
-            # a "dynamic object": moving square masked out, mimicking the
-            # static-element mask path (reference Camera mask ingress)
-            bx = int((0.2 + 0.5 * ti / num_frames) * width)
-            by = int(0.4 * height)
-            bw = width // 6
-            rgb[by : by + bw, bx : bx + bw] = rng.integers(0, 255, size=3)
-            mask[by : by + bw, bx : bx + bw] = 0
+            mask[in_box] = 0
 
         rgbs.append(rgb)
         depths.append(depth_mm)

@@ -87,11 +87,27 @@ def test_deterministic():
 
 
 def test_mask_path_ignores_dynamic_object():
+    """Comparative gate: the static-element mask must HELP on a scene
+    with a textured rigid dynamic object (the reference's mask purpose,
+    VisualOdometry.cpp:30 / Camera.cpp multipart part 3). Mask-off runs
+    the same compiled step with an all-ones mask; measured margins
+    (seeds 0-2): mask-on 17.9-35.7 mm vs mask-off 163.7-173.2 mm —
+    the moving object's consistent wrong-motion feature cluster drags
+    the unmasked pose estimate by ~5-9x ATE."""
     seq = render_sequence(num_frames=20, height=240, width=320, moving_box=True)
     est, outs, _ = run_sequence(seq, small_cfg(), use_mask=True)
     assert all(o.success for o in outs[1:])
-    ate = ate_rmse(est[:, :3, 3], seq.poses[:, :3, 3])
-    assert ate < 0.06
+    ate_on = ate_rmse(est[:, :3, 3], seq.poses[:, :3, 3])
+    assert ate_on < 0.06
+
+    seq_off = seq._replace(mask=np.full_like(seq.mask, 255))
+    est_off, _, _ = run_sequence(seq_off, small_cfg(), use_mask=True)
+    ate_off = ate_rmse(est_off[:, :3, 3], seq.poses[:, :3, 3])
+    assert ate_on < ate_off, (
+        f"mask did not help: on={ate_on:.4f} off={ate_off:.4f}")
+    # not just better — decisively so (measured ~5-9x; gate at 2x)
+    assert ate_off > 2.0 * ate_on, (
+        f"mask benefit marginal: on={ate_on:.4f} off={ate_off:.4f}")
 
 
 def test_frames_since_kf_counts_only_attempted_frames():
