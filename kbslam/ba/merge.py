@@ -16,6 +16,7 @@ this merge applies the BA result only where it is still valid:
 """
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 
@@ -67,5 +68,8 @@ def merge_ba_result(
     return current._replace(kf_q=kf_q, kf_t=kf_t, kf_mp=kf_mp, mp_pos=mp_pos)
 
 
+@functools.lru_cache(maxsize=16)
 def make_merge(cfg: BAConfig):
+    """lru_cached for the same reason as make_local_ba: per-instance jit
+    wrappers retrace on first use inside latency-sensitive loops."""
     return jax.jit(lambda c, s, b: merge_ba_result(c, s, b, cfg))

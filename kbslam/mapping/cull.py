@@ -16,6 +16,9 @@ keypoints invalid, landmark slots cleared) — landmarks that drop below
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from kbslam.config import CullConfig
@@ -94,3 +97,10 @@ def cull_keyframes(state: MapState, cfg: CullConfig) -> MapState:
         kf_kp_valid=jnp.where(dropped[:, None], False, state.kf_kp_valid),
         kf_mp=kf_mp,
     )
+
+
+@functools.lru_cache(maxsize=16)
+def make_cull(cfg: CullConfig):
+    """lru_cached jit (see ba.local_ba.make_local_ba): per-instance
+    wrappers retrace on each host shell's first cull."""
+    return jax.jit(lambda m: cull_keyframes(m, cfg))

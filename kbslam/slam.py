@@ -144,24 +144,21 @@ class SLAM:
                                      auto_key=True, seed=seed)
         self._ba = make_local_ba(config.ba, self.intr)
         if ba_mode == "async":
-            from kbslam.ba.local_ba import local_ba
+            from kbslam.ba.local_ba import make_async_ba
             from kbslam.ba.merge import make_merge
 
-            # async BA must NOT donate: the snapshot shares buffers with
-            # the live state tracking keeps using
-            self._ba_nodonate = jax.jit(
-                lambda s: local_ba(s, self.intr, config.ba))
+            # lru_cached factories (see make_local_ba): per-instance jit
+            # wrappers retrace on the first solve of every instance.
+            # make_async_ba fuses snapshot+solve into one dispatch; the
+            # snapshot is a real copy because tracking donates its state
+            # buffers every frame.
+            self._ba_solve = make_async_ba(config.ba, self.intr)
             self._merge = make_merge(config.ba)
-            # tracking donates its state buffers every frame, so the
-            # snapshot must be a real copy
-            from kbslam.mapping.state import device_copy
-
-            self._copy_map = device_copy
         self._ba_inflight = None  # (snapshot_map, result_map, stats)
         if config.cull.enabled:
-            from kbslam.mapping.cull import cull_keyframes
+            from kbslam.mapping.cull import make_cull
 
-            self._cull = jax.jit(lambda m: cull_keyframes(m, config.cull))
+            self._cull = make_cull(config.cull)
         else:
             self._cull = None
         self.state = init_state(config)
@@ -253,9 +250,8 @@ class SLAM:
                 self._ba_inflight = None
                 merged = True
         if added_kf and self._ba_inflight is None:
-            snapshot = self._copy_map(self.state.map)
-            result, stats = self._ba_nodonate(snapshot)  # async dispatch
-            self._ba_inflight = (snapshot, result, stats)
+            # ONE async dispatch: snapshot-copy + solve fused
+            self._ba_inflight = self._ba_solve(self.state.map)
         return merged
 
     def run_global_ba(self, steps: int = 5, pcg_iters: int = 30,

@@ -123,23 +123,22 @@ class ChunkedStream:
         self.ba_mode = ba_mode
         self.ba_stats: List[dict] = []
         if ba_mode == "async":
-            from kbslam.ba.local_ba import local_ba
+            from kbslam.ba.local_ba import make_async_ba
             from kbslam.ba.merge import make_merge
 
-            # async BA must NOT donate: the snapshot shares buffers with
-            # the live state tracking keeps using
-            self._ba_nodonate = jax.jit(lambda s: local_ba(s, intr, cfg.ba))
+            # lru_cached factories: a per-instance jax.jit wrapper here
+            # retraced on its first solve — inside the latency-sensitive
+            # feed loop (the round-3 async-BA streaming collapse).
+            # make_async_ba fuses snapshot+solve into one dispatch; the
+            # snapshot must be a real copy because tracking donates its
+            # state buffers every chunk.
+            self._ba_solve = make_async_ba(cfg.ba, intr)
             self._merge = make_merge(cfg.ba)
-            # tracking donates its state buffers every chunk, so the
-            # snapshot must be a real copy
-            from kbslam.mapping.state import device_copy
-
-            self._copy_map = device_copy
         self._ba_inflight = None  # (snapshot_map, result_map, stats)
         if cfg.cull.enabled:
-            from kbslam.mapping.cull import cull_keyframes
+            from kbslam.mapping.cull import make_cull
 
-            self._cull = jax.jit(lambda m: cull_keyframes(m, cfg.cull))
+            self._cull = make_cull(cfg.cull)
         else:
             self._cull = None
         self._host: List[tuple] = []
@@ -182,8 +181,9 @@ class ChunkedStream:
             self._frame += 1
         return added
 
-    def _record_ba_stats(self, stats):
-        s = jax.device_get(stats)
+    def _record_ba_stats(self, s):
+        """Append one solve's stats; ``s`` must already be host-side
+        (device_get'd by the caller — avoids a second transfer)."""
         self.ba_stats.append(dict(
             initial_cost=float(s.initial_cost),
             final_cost=float(s.final_cost),
@@ -202,23 +202,19 @@ class ChunkedStream:
             return
         if self._ba_inflight is not None:
             snapshot, result, stats = self._ba_inflight
-            if block:
-                # Hard barrier: block_until_ready can return before work
-                # completes on the tunneled runtime (CLAUDE.md gotcha #2),
-                # which would skip the final merge below and drop the last
-                # solve. device_get moves bytes to the host — a real barrier
-                # — and the merge under block is unconditional, mirroring
-                # SLAM.finish.
-                jax.device_get(stats)
             if block or all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
                 self.state = self.state._replace(
                     map=self._merge(self.state.map, snapshot, result))
-                self._record_ba_stats(stats)
+                # device_get doubles as the hard barrier under block=True:
+                # block_until_ready can return before work completes on the
+                # tunneled runtime (CLAUDE.md gotcha #2); moving the bytes
+                # to the host is a real barrier, and the merge under block
+                # is unconditional, mirroring SLAM.finish.
+                self._record_ba_stats(jax.device_get(stats))
                 self._ba_inflight = None
         if added_kf and self._ba_inflight is None:
-            snapshot = self._copy_map(self.state.map)
-            result, stats = self._ba_nodonate(snapshot)  # async dispatch
-            self._ba_inflight = (snapshot, result, stats)
+            # ONE async dispatch: snapshot-copy + solve fused
+            self._ba_inflight = self._ba_solve(self.state.map)
 
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
