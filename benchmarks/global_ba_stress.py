@@ -19,6 +19,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("STRESS_PLATFORM"):
+    # CLAUDE.md gotcha #1: the JAX_PLATFORMS env var is pinned by a
+    # sitecustomize; only jax.config.update before backend init wins.
+    jax.config.update("jax_platforms", os.environ["STRESS_PLATFORM"])
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -26,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from scipy.spatial.transform import Rotation
 
-from kbslam.ba.global_ba import GlobalBAData, global_ba_step
+from kbslam.ba.global_ba import GlobalBAData, global_ba_solve
 from kbslam.geom.camera import Intrinsics
 from kbslam.geom.se3 import SE3
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -108,27 +113,72 @@ def main():
         jax.device_put(data.anchor_mp, rep),
     )
 
-    costs = []
-    times = []
+    landmark_sharded = os.environ.get("STRESS_LM_SHARDED", "0") == "1"
+    pcg_cap = int(os.environ.get("STRESS_PCG_CAP", "40"))
+    pcg_tol = float(os.environ.get("STRESS_PCG_TOL", "1e-2"))
+
+    # warm/compile one round, then time each LM round separately by
+    # resuming the solve (iters=1 per timed call keeps the per-round
+    # wall visible; each round = linearize once + damping retries with
+    # early-stopped PCG on the cached NE)
+    data, costs0, stats0 = global_ba_solve(
+        data, intr, mesh, iters=1, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
+        landmark_sharded=landmark_sharded, return_stats=True)
+    float(np.asarray(costs0[-1]))  # barrier
+    costs = [round(float(c), 1) for c in np.asarray(costs0)]
+    times, pcg_used, retries = [], [int(stats0.pcg_iters[0])], [int(stats0.retries[0])]
+    lam = float(stats0.lam[-1])  # warm-start damping across rounds
     for i in range(steps):
         t0 = time.perf_counter()
-        data, cost = global_ba_step(data, intr, mesh, pcg_iters=25,
-                                    damping=1e-5)
-        c = float(np.asarray(cost))  # hard barrier
+        data, cs, st = global_ba_solve(
+            data, intr, mesh, iters=1, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
+            init_damping=lam,
+            landmark_sharded=landmark_sharded, return_stats=True)
+        c = float(np.asarray(cs[-1]))  # hard barrier
+        lam = float(st.lam[-1])
         times.append(time.perf_counter() - t0)
-        costs.append(c)
-        print(f"step {i}: cost {c:.1f}  {times[-1]:.2f}s", file=sys.stderr)
+        costs.append(round(c, 1))
+        pcg_used.append(int(st.pcg_iters[0]))
+        retries.append(int(st.retries[0]))
+        print(f"round {i}: cost {c:.1f}  {times[-1]:.2f}s  "
+              f"pcg={pcg_used[-1]} retries={retries[-1]}",
+              file=sys.stderr)
 
+    # collective wire bytes PER DEVICE, ring-algorithm estimates from the
+    # static shapes x the measured iteration counts (allreduce moves
+    # ~2(n-1)/n x bytes; reduce_scatter / all_gather ~(n-1)/n each):
+    # per PCG iter: [P,3] f32 reduction (+ gather in the sharded variant,
+    # bytes-equivalent); per retry: damped-NE inverse gather (sharded
+    # only); per round: H_pp/b_p/p_act reduction + backsub.
+    f = (n_dev - 1) / max(n_dev, 1)
+    P3, P33 = 12 * n_pts, 36 * n_pts
+    it_total = sum(pcg_used[1:]) or pcg_used[0]
+    rt_total = sum(retries[1:]) or retries[0]
+    rounds = max(len(times), 1)
+    if landmark_sharded:
+        traffic = (it_total * 2 * f * P3            # scatter+gather / iter
+                   + rt_total * f * (P3 + P33)      # Hib + Hpp_inv gathers
+                   + rounds * f * (P33 + P3 + 4 * n_pts)  # NE scatter
+                   + rounds * 2 * f * P3)           # backsub scatter+gather
+    else:
+        traffic = (it_total * 2 * f * P3            # psum / iter
+                   + rounds * 2 * f * (P33 + P3 + 4 * n_pts)  # NE psum
+                   + rounds * 2 * f * P3)           # backsub psum
     err = np.linalg.norm(np.asarray(data.mp_pos) - gt, axis=1)
     print(json.dumps({
         "metric": "global_ba_stress_step_seconds",
-        "value": round(min(times[1:]) if len(times) > 1 else times[0], 3),
-        "unit": "s/GN-step",
+        "value": round(min(times) if times else 0.0, 3),
+        "unit": "s/GN-round",
         "vs_baseline": None,
         "extra": {
             "cams": n_cams, "landmarks": n_pts,
             "devices": n_dev,
-            "cost_trajectory": [round(c, 1) for c in costs],
+            "landmark_sharded": landmark_sharded,
+            "pcg_cap": pcg_cap, "pcg_tol": pcg_tol,
+            "pcg_iters_per_round": pcg_used,
+            "retries_per_round": retries,
+            "cost_trajectory": costs,
+            "collective_MB_per_device_total": round(traffic / 1e6, 2),
             "landmark_median_err_m": round(float(np.median(err)), 5),
         },
     }))
