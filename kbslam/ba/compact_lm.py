@@ -174,8 +174,8 @@ def solve_window_compact(
 
         return H_cc, b_c, H_pp, b_p, U, cost + r_d * r_d
 
-    def lm_step(_, carry):
-        cam_q, cam_t, Xc, lam, cost, ne, it, acc, done = carry
+    def lm_step(carry):
+        cam_q, cam_t, Xc, lam, cost, ne, it, acc, done, trips = carry
         # normal equations are CACHED from the last accepted state:
         # ~50% of LM iterations reject (measured), and a rejected step
         # only needs a new damping factor on the same H/b — Ceres'
@@ -234,13 +234,24 @@ def solve_window_compact(
         done = done | (accept & (rel < 1e-6)) | (lam >= cfg.lm_max_lambda)
         it = jnp.where(done, it, it + 1)
         acc = acc + accept.astype(jnp.int32)
-        return cam_q, cam_t, Xc, lam, cost_out, ne, it, acc, done
+        return cam_q, cam_t, Xc, lam, cost_out, ne, it, acc, done, trips + 1
+
+    def lm_cond(carry):
+        done, trips = carry[-2], carry[-1]
+        # while_loop (not fori): trips after `done` are pure no-ops by
+        # construction (every update is where(done)-guarded), so exiting
+        # early is bit-identical and skips their full damp/solve/cost
+        # work — measured 22.8 -> ~16 ms on fresh windows whose
+        # function-tolerance stop fires at 6-9 of the 20-trip Ceres cap
+        # (benchmarks/exp_ba_fresh.py; Optimizers.cpp:207 caps at 20,
+        # Ceres itself also exits on function_tolerance).
+        return jnp.logical_not(done) & (trips < cfg.max_iterations)
 
     cost0 = _total_cost(prob.cam_q, prob.cam_t, cp.Xc, cp, prob, intr, cfg)
     ne0 = normal_equations(prob.cam_q, prob.cam_t, cp.Xc)[:5]
     init = (prob.cam_q, prob.cam_t, cp.Xc,
             jnp.float32(cfg.lm_init_lambda), cost0, ne0, jnp.int32(0),
-            jnp.int32(0), jnp.bool_(False))
-    cam_q, cam_t, Xc, _, cost, _, it, acc, _ = jax.lax.fori_loop(
-        0, cfg.max_iterations, lm_step, init)
+            jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+    cam_q, cam_t, Xc, _, cost, _, it, acc, _, _ = jax.lax.while_loop(
+        lm_cond, lm_step, init)
     return CompactSolution(cam_q, cam_t, Xc, cost0, cost, it, acc)
