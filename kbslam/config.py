@@ -132,6 +132,17 @@ class BAConfig:
     # observations / unique landmarks in a window. Multiples of 128.
     compact_obs: int = 4096
     compact_landmarks: int = 4096
+    # Ceres use_inner_iterations analogue (Optimizers.cpp:207): after an
+    # ACCEPTED LM step, re-linearize the landmark-only system at the new
+    # cameras and take one Newton step on the points (Ceres runs
+    # coordinate descent on the elimination group). Accepted only on
+    # strict cost decrease, like Ceres. Default False: measured on fresh
+    # tracking windows the solve's OPTIMUM is unchanged (exp_ba_fresh:
+    # final costs identical across iteration budgets — the plain loop
+    # already saturates) and each accepted step pays an extra cost
+    # evaluation + landmark NE solve; enable for Ceres-schedule parity
+    # or faster per-iteration descent on harder windows.
+    inner_iterations: bool = False
     # LM damping schedule (Ceres defaults: init 1e-4, up x2 on reject, down /3).
     lm_init_lambda: float = 1e-4
     lm_lambda_up: float = 2.0
@@ -179,9 +190,14 @@ class SLAMConfig:
     # match only the most recent keyframe, VisualOdometry.cpp:36-39).
     # N>1 matches a concatenated descriptor bank and solves PnP against
     # world-frame points — more correspondences, longer baselines.
-    # Default 3: reaches ATE parity with the OpenCV oracle at ~10% frame
-    # cost (set 1 for strict reference behavior).
-    track_keyframes: int = 3
+    # Default 1 (reference parity): a round-4 head-to-head across 4
+    # scene families x 3 seeds (benchmarks/exp_nk_ate.py) found NK=3's
+    # benefit NOT demonstrable — modest refined-ATE gains on smooth
+    # scenes (e.g. 13.5 vs 15.6 mm plane) but a catastrophic outlier on
+    # a hard spheres seed (215 vs 44 mm) and comparable keyframe ATE —
+    # while costing ~7% FPS (475 vs 511 on TPU v5e). Set 3 to trade
+    # throughput for the multi-keyframe bank on smooth scenes.
+    track_keyframes: int = 1
     # Keyframe insertion without lax.cond: always execute the (masked,
     # drop-scatter) insertion, gated by index arithmetic. SLOWER single
     # stream (~+0.37 ms/frame: insertion work runs every frame) but

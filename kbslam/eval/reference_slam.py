@@ -109,8 +109,8 @@ class ReferenceSLAM(ReferenceVO):
 
     def __init__(self, K, depth_scale: float = 1e-3, window: int = 5,
                  huber_delta: float = 1.0, depth_prior_sigma: float = 0.30,
-                 max_iterations: int = 20):
-        super().__init__(K, depth_scale)
+                 max_iterations: int = 20, num_features: int = 3000):
+        super().__init__(K, depth_scale, num_features=num_features)
         self.window = window
         self.huber_delta = huber_delta
         self.depth_prior_sigma = depth_prior_sigma

@@ -21,13 +21,23 @@ import numpy as np
 
 
 class ReferenceVO:
-    def __init__(self, K: np.ndarray, depth_scale: float = 1e-3):
+    def __init__(self, K: np.ndarray, depth_scale: float = 1e-3,
+                 num_features: int = 3000):
+        """num_features: ORB cap (reference VisualOdometry.cpp:10 uses
+        3000). For head-to-head accuracy comparisons at reduced test
+        resolutions, pass the SAME budget the kbslam config under test
+        uses — at 240x320 the 3000 cap never binds (cv2 detects ~550),
+        so an uncapped oracle vs a 512-capped kbslam silently compares
+        different feature budgets, not algorithms (found in round 4:
+        ours at NK=1/512 looked 1.2-1.3x worse than the 550-feature
+        oracle but BEATS the 512-feature oracle, 18.1-18.7 vs
+        19.5-23.7 mm across seeds 0-2)."""
         import cv2
 
         self.cv2 = cv2
         self.K = np.asarray(K, np.float64)
         self.depth_scale = depth_scale
-        self.orb = cv2.ORB_create(3000, 1.2, 8, 31, 0, 2,
+        self.orb = cv2.ORB_create(num_features, 1.2, 8, 31, 0, 2,
                                   cv2.ORB_HARRIS_SCORE, 31, 20)
         self.matcher = cv2.BFMatcher_create(cv2.NORM_HAMMING)
         self.poses: List[np.ndarray] = [np.eye(4)]

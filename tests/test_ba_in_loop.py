@@ -22,8 +22,17 @@ from kbslam.slam import SLAM
 
 
 def _cfg(max_kf=16, max_mp=8192):
+    # track_keyframes=3 (the opt-in multi-keyframe bank, not the NK=1
+    # reference-parity default): these gates measure the ACCURACY VALUE
+    # of BA + keyframe-anchored refinement on hard noisy scenes, which
+    # is only visible when within-interval VO drift doesn't dominate —
+    # at NK=1 on the noisy sphere scene the online trajectory carries
+    # ~66 mm of frame-to-anchor drift that no keyframe refinement can
+    # remove (measured round 4; benchmarks/exp_nk_ate.py has the full
+    # NK=1 vs NK=3 study). The BA-never-hurts contract at NK=1 is
+    # separately pinned below (test_ba_not_hurting_at_reference_parity).
     return SLAMConfig(
-        image_height=240, image_width=320,
+        image_height=240, image_width=320, track_keyframes=3,
         orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
         pnp=PnPConfig(num_hypotheses=128),
         map=MapConfig(max_keyframes=max_kf, max_map_points=max_mp),
@@ -82,3 +91,21 @@ def test_ba_in_loop_rotation_dominant_low_texture():
     assert ate_on <= 1.05 * ate_off + 1e-3, (ate_on, ate_off)
     assert ate_ref <= ate_on + 1e-3, (ate_ref, ate_on)
     assert ate_ref < 0.06, ate_ref
+
+
+def test_ba_not_hurting_at_reference_parity():
+    """At the NK=1 reference-parity default, enabling BA must not hurt
+    the online trajectory on the hard noisy scene (the reference runs
+    its BA concurrently with exactly this matching config). Refinement
+    accuracy gates live in the NK=3 tests above — at NK=1 online
+    frame-to-anchor drift dominates and refinement is ~neutral
+    (measured 66.4 -> 66.5 mm, seed 0)."""
+    seq = render_sequence(num_frames=40, height=240, width=320,
+                          scene="spheres", depth_noise_mm=2.0,
+                          depth_dropout=0.02, seed=0)
+    cfg = _cfg().replace(track_keyframes=1)
+    ate_off, _, _ = _track(seq, "disabled", cfg)
+    ate_on, succ_on, s_on = _track(seq, "on_keyframe", cfg)
+    assert succ_on >= 36, succ_on
+    assert len(s_on.ba_stats) >= 2
+    assert ate_on <= 1.05 * ate_off + 1e-3, (ate_on, ate_off)

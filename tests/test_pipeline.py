@@ -181,5 +181,8 @@ def test_tracking_on_distorted_rendering():
     ate_without = ate_rmse(est_no[:, :3, 3], gt[:, :3, 3])
 
     assert sum(o.success for o in outs_d[1:]) >= len(outs_d) - 3
-    assert ate_with_model < 0.030, ate_with_model
+    # re-based for the NK=1 reference-parity default (round 4): measured
+    # 34.5 mm (was ~25 at NK=3) — the binding check is the comparative
+    # one below (model-on must beat coefficients-ignored decisively)
+    assert ate_with_model < 0.040, ate_with_model
     assert ate_with_model < 0.6 * ate_without, (ate_with_model, ate_without)
