@@ -217,13 +217,42 @@ def solve_window_compact(
         finite = jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(delta_c))
         accept = finite & (new_cost < cost) & jnp.logical_not(done)
 
+        if cfg.inner_iterations:
+            # Ceres use_inner_iterations analogue (Optimizers.cpp:207):
+            # on accept, one Newton step on the LANDMARK-only system
+            # re-linearized at the new cameras (the elimination group's
+            # coordinate-descent pass), kept only on strict descent.
+            def refined_point():
+                H_cc2, b_c2, H_pp2, b_p2, U2, _ = normal_equations(
+                    cam_q_t, cam_t_t, Xc_t)
+                Hpp_inv2 = _inv3x3(
+                    H_pp2 + 1e-8 * jnp.eye(3)) * p_act[:, None, None]
+                Xc_i = Xc_t + jnp.einsum("lkm,lm->lk", Hpp_inv2, b_p2) \
+                    * p_act[:, None]
+                c_i = _total_cost(cam_q_t, cam_t_t, Xc_i, cp, prob, intr,
+                                  cfg)
+                ok = jnp.isfinite(c_i) & (c_i < new_cost)
+                Xc_f = jnp.where(ok, Xc_i, Xc_t)
+                c_f = jnp.where(ok, c_i, new_cost)
+                ne_f = jax.lax.cond(
+                    ok,
+                    lambda: normal_equations(cam_q_t, cam_t_t, Xc_f)[:5],
+                    lambda: (H_cc2, b_c2, H_pp2, b_p2, U2))
+                return Xc_f, c_f, ne_f
+
+            Xc_t, new_cost, ne_acc = jax.lax.cond(
+                accept, refined_point,
+                lambda: (Xc_t, new_cost, ne))
+        else:
+            ne_acc = None
         cam_q = jnp.where(accept, cam_q_t, cam_q)
         cam_t = jnp.where(accept, cam_t_t, cam_t)
         Xc = jnp.where(accept, Xc_t, Xc)
         cost_out = jnp.where(accept, new_cost, cost)
         ne = jax.lax.cond(
             accept,
-            lambda: normal_equations(cam_q_t, cam_t_t, Xc_t)[:5],
+            lambda: ne_acc if cfg.inner_iterations
+            else normal_equations(cam_q_t, cam_t_t, Xc_t)[:5],
             lambda: ne)
         lam = jnp.where(
             done, lam,

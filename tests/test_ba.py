@@ -189,3 +189,24 @@ def test_compact_solver_matches_dense_reference():
         np.testing.assert_allclose(np.asarray(comp.Xc)[lv],
                                    np.asarray(dense.mp_pos)[lids[lv]],
                                    atol=5e-3)
+
+
+def test_inner_iterations_converge_at_least_as_well():
+    """Ceres use_inner_iterations analogue (Optimizers.cpp:207): the
+    point-only coordinate-descent pass after accepted steps must never
+    converge WORSE (it is gated on strict cost decrease), and with a
+    tight iteration budget it should reach a lower-or-equal cost (the
+    pass buys extra per-iteration descent)."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    state, _, _ = build_synthetic_state(rng, px_noise=0.5)
+
+    for max_it in (3, 20):
+        cfg_p = dataclasses.replace(BCFG, max_iterations=max_it)
+        cfg_i = dataclasses.replace(cfg_p, inner_iterations=True)
+        _, st_p = local_ba(state, INTR, cfg_p)
+        _, st_i = local_ba(state, INTR, cfg_i)
+        fp, fi = float(st_p.final_cost), float(st_i.final_cost)
+        assert fi <= fp * 1.0 + 1e-4, (max_it, fi, fp)
+        assert int(st_i.accepted) >= 1
