@@ -65,6 +65,68 @@ class TrackOutput(NamedTuple):
     anchor_t: jnp.ndarray      # [3]
 
 
+class PendingInsert(NamedTuple):
+    """Deferred keyframe-insertion payload (multistream scan path).
+
+    Under vmap, even the branchless masked-scatter insertion executes
+    its full scatter/fusion compute every frame (~0.37 ms/stream
+    measured, benchmarks/exp_multistream2.py). The deferred mode
+    captures everything insertion needs at flag time and applies it
+    once per K scan steps in an UNBATCHED outer loop — structurally,
+    not via lax.cond (a batched cond lowers to both-branch execution;
+    a scalar cond still copy-selects the carry). Safe because the
+    policy's min_frame_gap (10) exceeds K: at most one pending exists
+    per window. Insertion lands up to K-1 frames late — the same
+    contract as the chunked executor's chunk-late BA."""
+
+    do: jnp.ndarray        # bool — a keyframe was flagged
+    fresh: jnp.ndarray     # bool — map was empty at flag time (skip fusion)
+    pose_q: jnp.ndarray    # [4]
+    pose_t: jnp.ndarray    # [3]
+    kp_xy: jnp.ndarray     # [F, 2]
+    kp_depth: jnp.ndarray  # [F]
+    kp_desc: jnp.ndarray   # [F, 256] uint8
+    kp_valid: jnp.ndarray  # [F] bool
+    fuse_idx: jnp.ndarray  # [F] int32 match.best_idx vs the last KF
+    fuse_ok: jnp.ndarray   # [F] bool  match.is_match vs the last KF
+
+
+def empty_pending(cfg: SLAMConfig) -> PendingInsert:
+    F = cfg.orb.max_features
+    return PendingInsert(
+        do=jnp.bool_(False), fresh=jnp.bool_(False),
+        pose_q=jnp.array([1.0, 0, 0, 0], jnp.float32),
+        pose_t=jnp.zeros(3, jnp.float32),
+        kp_xy=jnp.zeros((F, 2), jnp.float32),
+        kp_depth=jnp.zeros((F,), jnp.float32),
+        kp_desc=jnp.zeros((F, 256), jnp.uint8),
+        kp_valid=jnp.zeros((F,), bool),
+        fuse_idx=jnp.zeros((F,), jnp.int32),
+        fuse_ok=jnp.zeros((F,), bool),
+    )
+
+
+def apply_pending(m: MapState, p: PendingInsert, intr: Intrinsics,
+                  cfg: SLAMConfig) -> MapState:
+    """Apply one stream's deferred insertion (no-op when p.do=False —
+    same masked-scatter gating as the branchless path)."""
+    from kbslam.frontend.orb import Features
+    from kbslam.matching.hamming import MatchResult
+
+    F = cfg.orb.max_features
+    zf = jnp.zeros((F,), jnp.float32)
+    feats = Features(xy=p.kp_xy, response=zf, angle=zf,
+                     level=jnp.zeros((F,), jnp.int32),
+                     valid=p.kp_valid, desc=p.kp_desc)
+    m2 = insert_keyframe(m, feats, p.kp_depth, SE3(p.pose_q, p.pose_t),
+                         do=p.do)
+    zi = jnp.zeros((F,), jnp.int32)
+    fuse = MatchResult(best_idx=p.fuse_idx, best_dist=zi, second_dist=zi,
+                       is_match=p.fuse_ok)
+    return create_map_points(m2, fuse, intr.fx, intr.fy, intr.cx, intr.cy,
+                             do=p.do & jnp.logical_not(p.fresh))
+
+
 def init_state(cfg: SLAMConfig) -> TrackState:
     return TrackState(
         map=empty_map(cfg.map, cfg.orb),
@@ -83,15 +145,21 @@ def track_step(
     key: jnp.ndarray,      # PRNG key for RANSAC (fixed per frame = determinism)
     intr: Intrinsics,
     cfg: SLAMConfig,
+    defer_insert: bool = False,
 ) -> tuple[TrackState, TrackOutput]:
+    """defer_insert=True skips the in-step map insertion and returns a
+    third element (PendingInsert) instead — the multistream scan applies
+    it once per K steps (see PendingInsert)."""
     # TPU f32 matmuls default to bf16 passes; the geometry path (DLT
     # normal matrices, GN solves) needs real f32. Explicit-bf16 matmuls
     # (descriptors, Hamming) are unaffected by this setting.
     with jax.default_matmul_precision("highest"):
-        return _track_step_impl(state, rgb, depth, mask, key, intr, cfg)
+        return _track_step_impl(state, rgb, depth, mask, key, intr, cfg,
+                                defer_insert)
 
 
-def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
+def _track_step_impl(state, rgb, depth, mask, key, intr, cfg,
+                     defer_insert=False):
     m = state.map
     empty = m.is_empty()
 
@@ -259,7 +327,18 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         is_match=match.is_match[:F],
     )
 
-    if cfg.branchless_insert:
+    if defer_insert:
+        # capture the insertion payload; the caller applies it once per
+        # K scan steps (see PendingInsert) — the map is untouched here
+        pending = PendingInsert(
+            do=do_insert, fresh=empty,
+            pose_q=pose.q, pose_t=pose.t,
+            kp_xy=feats.xy, kp_depth=depth_kp,
+            kp_desc=feats.desc, kp_valid=feats.valid,
+            fuse_idx=fuse_match.best_idx, fuse_ok=fuse_match.is_match,
+        )
+        new_map = m
+    elif cfg.branchless_insert:
         # masked-scatter gating instead of lax.cond: required under vmap
         # (multistream), where cond executes both branches AND pays a
         # full-map select copy every frame (see SLAMConfig).
@@ -303,6 +382,8 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg):
         anchor_q=new_map.kf_q[a_slot],
         anchor_t=new_map.kf_t[a_slot],
     )
+    if defer_insert:
+        return new_state, out, pending
     return new_state, out
 
 

