@@ -114,35 +114,49 @@ def main():
     )
 
     landmark_sharded = os.environ.get("STRESS_LM_SHARDED", "0") == "1"
-    pcg_cap = int(os.environ.get("STRESS_PCG_CAP", "40"))
+    # cap 25 = the round-3 fixed trip count, for comparable per-round
+    # walls; with the warm-started damping later rounds legitimately
+    # want deeper PCG solves (the trust region loosens as lambda
+    # shrinks), so an uncapped run trades round time for a much lower
+    # cost floor (measured: cap 40 reaches cost 4.6 by round 3 at
+    # 0.11-0.12 s/round; per PCG iteration ~2.5-3 ms either way)
+    pcg_cap = int(os.environ.get("STRESS_PCG_CAP", "25"))
     pcg_tol = float(os.environ.get("STRESS_PCG_TOL", "1e-2"))
 
-    # warm/compile one round, then time each LM round separately by
-    # resuming the solve (iters=1 per timed call keeps the per-round
-    # wall visible; each round = linearize once + damping retries with
-    # early-stopped PCG on the cached NE)
+    # warm/compile one round, then time ALL remaining LM rounds in ONE
+    # dispatch: per-round calls each pay the ~25-80 ms tunnel dispatch
+    # RTT on top of device time (CLAUDE.md gotcha #11), which dominated
+    # the per-round numbers. Each round = linearize once + damping
+    # retries with early-stopped PCG on the cached NE.
     data, costs0, stats0 = global_ba_solve(
         data, intr, mesh, iters=1, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
         landmark_sharded=landmark_sharded, return_stats=True)
     float(np.asarray(costs0[-1]))  # barrier
     costs = [round(float(c), 1) for c in np.asarray(costs0)]
-    times, pcg_used, retries = [], [int(stats0.pcg_iters[0])], [int(stats0.retries[0])]
-    lam = float(stats0.lam[-1])  # warm-start damping across rounds
-    for i in range(steps):
-        t0 = time.perf_counter()
-        data, cs, st = global_ba_solve(
-            data, intr, mesh, iters=1, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
-            init_damping=lam,
-            landmark_sharded=landmark_sharded, return_stats=True)
-        c = float(np.asarray(cs[-1]))  # hard barrier
-        lam = float(st.lam[-1])
-        times.append(time.perf_counter() - t0)
-        costs.append(round(c, 1))
-        pcg_used.append(int(st.pcg_iters[0]))
-        retries.append(int(st.retries[0]))
-        print(f"round {i}: cost {c:.1f}  {times[-1]:.2f}s  "
-              f"pcg={pcg_used[-1]} retries={retries[-1]}",
-              file=sys.stderr)
+    pcg_used = [int(stats0.pcg_iters[0])]
+    retries = [int(stats0.retries[0])]
+    lam = float(stats0.lam[-1])  # warm-start damping across calls
+    # compile the iters=steps program untimed (outputs discarded; the
+    # solve is pure so `data` is unchanged)
+    _, _cs, _ = global_ba_solve(
+        data, intr, mesh, iters=steps, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
+        init_damping=lam,
+        landmark_sharded=landmark_sharded, return_stats=True)
+    float(np.asarray(_cs[-1]))
+    t0 = time.perf_counter()
+    data, cs, st = global_ba_solve(
+        data, intr, mesh, iters=steps, pcg_iters=pcg_cap, pcg_tol=pcg_tol,
+        init_damping=lam,
+        landmark_sharded=landmark_sharded, return_stats=True)
+    float(np.asarray(cs[-1]))  # hard barrier
+    total = time.perf_counter() - t0
+    times = [total / steps] * steps
+    costs += [round(float(c), 1) for c in np.asarray(cs[1:])]
+    pcg_used += [int(x) for x in np.asarray(st.pcg_iters)]
+    retries += [int(x) for x in np.asarray(st.retries)]
+    print(f"{steps} rounds in one dispatch: {total:.2f}s total, "
+          f"{total / steps * 1e3:.0f} ms/round, pcg={pcg_used[1:]}, "
+          f"costs={costs[-steps:]}", file=sys.stderr)
 
     # collective wire bytes PER DEVICE, ring-algorithm estimates from the
     # static shapes x the measured iteration counts (allreduce moves
