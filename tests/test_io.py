@@ -180,9 +180,15 @@ def test_cli_chunked_checkpoint_cull_roundtrip(tmp_path, capsys):
           "--resume", ckpt])
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # resumed map already holds the first run's keyframes: the same
-    # opening frames re-track against it without re-inserting frame 0
+    # opening frames re-track against it without re-inserting frame 0.
+    # At the NK=1 reference-parity default (round 4) matching is vs the
+    # NEWEST checkpoint keyframe only, so the earliest replayed frames
+    # can lose one success vs the fresh run (they overlap an OLD
+    # keyframe) — allow that single-frame slack; the machinery contract
+    # (state restored, tracking functional) is what this pins.
     assert s2["frames"] == 8
-    assert s2["success"] >= s1["success"]
+    assert s2["success"] >= s1["success"] - 1
+    assert s2["success"] >= 6
 
 
 def test_tum_associate_one_to_one():
