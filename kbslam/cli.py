@@ -49,6 +49,10 @@ def main(argv=None):
                     help="write the final SLAM state (npz) to this path")
     ap.add_argument("--resume", default=None,
                     help="resume from a checkpoint written by --save-checkpoint")
+    ap.add_argument("--loop", action="store_true",
+                    help="enable loop closure (place recognition + "
+                    "pose-graph correction; capability extension — the "
+                    "reference has none). Per-frame path only")
     ap.add_argument("--cull", action="store_true",
                     help="enable keyframe culling (disabled in the reference)")
     ap.add_argument("--dist", default=None,
@@ -142,6 +146,13 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
+    if args.loop:
+        import dataclasses
+
+        if args.chunk:
+            ap.error("--loop runs on the per-frame path (loop probes "
+                     "need per-insertion host control)")
+        cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, enabled=True))
     if args.chunk:
         _run_chunked(args, cfg, K, frames, dist)
         return
@@ -188,6 +199,8 @@ def main(argv=None):
         mean_track_ms=float(np.mean([x["wall_ms"] for x in slam.diagnostics][1:]))
         if n > 1 else None,
     )
+    if args.loop:
+        summary["loop_closures"] = len(slam.loop_events)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

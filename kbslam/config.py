@@ -163,6 +163,32 @@ class CullConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure — a deliberate capability EXTENSION: the reference
+    has no place recognition or relocalization at all (SURVEY §5.3), so
+    its drift is unbounded. Disabled by default to preserve strict
+    reference-parity behavior; enable for bounded-drift trajectories
+    (kbslam/loop/: bag-of-binary-words detection on the MXU, geometric
+    verification through the tracking frontend, SE(3) pose-graph LM)."""
+
+    enabled: bool = False
+    word_bits: int = 10               # vocabulary size = 2^word_bits
+    score_min: float = 0.80           # signature cosine gate
+    min_separation: int = 10          # keyframe-id gap before a loop counts
+    min_inliers: int = 40             # geometric verification gate
+    loop_weight: float = 1.0          # pose-graph weight of the loop edge
+    max_iterations: int = 50          # pose-graph LM cap
+    # Drift-envelope consistency gates: a verified constraint must lie
+    # within this much of the CURRENT map's relative pose. Loop closure
+    # corrects accumulated drift (bounded); constraints outside the
+    # envelope are perceptual aliasing (measured: repeated synthetic
+    # texture produced an 87-inlier "loop" 551 mm off while the real
+    # drift was <28 mm — see loop/detect.py verify_loop).
+    max_trans_disc: float = 0.30      # metres
+    max_rot_disc_deg: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
 class MapConfig:
     """Fixed-capacity padded map state (replaces Map/KeyFrame/MapPoint,
     reference Map.cpp / KeyFrame.hpp / MapPoint.hpp)."""
@@ -212,6 +238,7 @@ class SLAMConfig:
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     cull: CullConfig = dataclasses.field(default_factory=CullConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
 
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)

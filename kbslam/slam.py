@@ -161,6 +161,21 @@ class SLAM:
             self._cull = make_cull(config.cull)
         else:
             self._cull = None
+        if config.loop.enabled:
+            from kbslam.loop.closure import make_close_loop
+            from kbslam.loop.detect import make_loop_probe
+
+            lc = config.loop
+            self._loop_probe = make_loop_probe(
+                config, self.intr, word_bits=lc.word_bits,
+                min_separation=lc.min_separation, score_min=lc.score_min,
+                min_inliers=lc.min_inliers,
+                max_trans_disc=lc.max_trans_disc,
+                max_rot_disc_deg=lc.max_rot_disc_deg)
+            self._close_loop = make_close_loop(lc.max_iterations)
+        else:
+            self._loop_probe = None
+        self.loop_events: List[dict] = []
         self.state = init_state(config)
         self._ones_mask = None  # cached device buffer for mask-less callers
         self._frame = 0
@@ -214,6 +229,9 @@ class SLAM:
         elif self.ba_mode == "async":
             ran_ba = self._async_ba_tick(bool(o.added_kf))
 
+        if self._loop_probe is not None and bool(o.added_kf):
+            self._loop_tick()
+
         T = pose_T(np.asarray(o.pose_q), o.pose_t)
         if bool(o.success) or self._frame == 0:
             self.trajectory.append(T)
@@ -235,6 +253,34 @@ class SLAM:
         self.diagnostics.append(diag)
         self._frame += 1
         return diag
+
+    def _loop_tick(self):
+        """Probe the just-inserted keyframe for a loop; on a verified
+        constraint, solve the pose graph and rigidly correct the map.
+        Skipped while an async BA solve is in flight: its merge would
+        write PRE-correction window poses over the corrected ring."""
+        if self._ba_inflight is not None:
+            return
+        m = self.state.map
+        qslot = (int(m.num_kf) - 1) % m.capacity_kf
+        key = jax.random.fold_in(jax.random.PRNGKey(0x100B),
+                                 int(m.num_kf))
+        cand, cons = self._loop_probe(m, jnp.int32(qslot), key)
+        if not bool(cons.ok):
+            return
+        new_map, stats = self._close_loop(m, cand.slot, jnp.int32(qslot),
+                                          cons.rel_q, cons.rel_t, cons.ok)
+        self.state = self.state._replace(map=new_map)
+        self.loop_events.append(dict(
+            frame=self._frame,
+            query_id=int(m.num_kf) - 1,
+            cand_id=int(m.kf_id[cand.slot]),
+            score=float(cand.score),
+            inliers=int(cons.num_inliers),
+            pg_initial_cost=float(stats.initial_cost),
+            pg_final_cost=float(stats.final_cost),
+            pg_accepted=int(stats.accepted),
+        ))
 
     def _async_ba_tick(self, added_kf: bool) -> bool:
         """The reference's BA-thread gating (main.cpp:22-47), functional:
