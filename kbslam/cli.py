@@ -53,6 +53,10 @@ def main(argv=None):
                     help="enable loop closure (place recognition + "
                     "pose-graph correction; capability extension — the "
                     "reference has none). Per-frame path only")
+    ap.add_argument("--reloc", type=int, default=0, metavar="N",
+                    help="relocalize after N consecutive tracking "
+                    "failures (0 = reference behavior: lost forever). "
+                    "Per-frame path only")
     ap.add_argument("--cull", action="store_true",
                     help="enable keyframe culling (disabled in the reference)")
     ap.add_argument("--dist", default=None,
@@ -146,13 +150,14 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
-    if args.loop:
+    if args.loop or args.reloc:
         import dataclasses
 
         if args.chunk:
-            ap.error("--loop runs on the per-frame path (loop probes "
-                     "need per-insertion host control)")
-        cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, enabled=True))
+            ap.error("--loop/--reloc run on the per-frame path (probes "
+                     "need per-insertion/per-failure host control)")
+        cfg = cfg.replace(loop=dataclasses.replace(
+            cfg.loop, enabled=bool(args.loop), reloc_after=args.reloc))
     if args.chunk:
         _run_chunked(args, cfg, K, frames, dist)
         return
@@ -201,6 +206,8 @@ def main(argv=None):
     )
     if args.loop:
         summary["loop_closures"] = len(slam.loop_events)
+    if args.reloc:
+        summary["relocalizations"] = len(slam.reloc_events)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

@@ -186,6 +186,16 @@ class LoopConfig:
     # drift was <28 mm — see loop/detect.py verify_loop).
     max_trans_disc: float = 0.30      # metres
     max_rot_disc_deg: float = 10.0
+    # Relocalization after tracking loss (capability extension; the
+    # reference's failure contract is skip-frame-and-hope — once the
+    # camera leaves the last keyframe's view it is lost forever).
+    # After this many consecutive tracking failures, the frame is
+    # place-recognized against the WHOLE keyframe ring, verified with
+    # mutual-best matching + PnP, and on success inserted as a fresh
+    # keyframe anchor (loop/reloc.py). 0 disables.
+    reloc_after: int = 0
+    reloc_score_min: float = 0.5      # signature gate (frame vs ring)
+    reloc_min_inliers: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

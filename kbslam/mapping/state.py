@@ -150,6 +150,7 @@ def create_map_points(
     match: MatchResult,
     intr_fx, intr_fy, intr_cx, intr_cy,
     do: Optional[jnp.ndarray] = None,
+    prev_slot: Optional[jnp.ndarray] = None,
 ) -> MapState:
     """Map::CreateMapPoints (Map.cpp:16-65), as masked scatters.
 
@@ -163,7 +164,11 @@ def create_map_points(
     entries pointing at a landmark.
     """
     m = state.capacity_kf
-    prev_slot = (state.num_kf - 2) % m
+    if prev_slot is None:
+        # default: the previous-last keyframe (Map.cpp:24). Callers that
+        # matched against an arbitrary keyframe (relocalization) pass
+        # that keyframe's slot so fusion binds the right rows.
+        prev_slot = (state.num_kf - 2) % m
     curr_slot = (state.num_kf - 1) % m
 
     q_idx = jnp.arange(state.kf_mp.shape[1])

@@ -158,12 +158,10 @@ def track_step(
                                 defer_insert)
 
 
-def _track_step_impl(state, rgb, depth, mask, key, intr, cfg,
-                     defer_insert=False):
-    m = state.map
-    empty = m.is_empty()
-
-    # --- L3 frontend: ORB under mask (VisualOdometry.cpp:138) -------------
+def extract_frame(rgb, depth, mask, intr, cfg):
+    """L3 frontend: ORB under mask (VisualOdometry.cpp:138) + keypoint
+    depth with the occlusion-rim gate + one-shot undistortion. Shared by
+    the tracking step and relocalization (loop/reloc.py)."""
     feats = orb.extract(rgb, mask, cfg.orb)
     # stage boundary: materialize the frontend outputs. Without this,
     # XLA fuses the gather-heavy descriptor producer into the Hamming
@@ -194,6 +192,15 @@ def _track_step_impl(state, rgb, depth, mask, key, intr, cfg,
         # solvePnPRansac (VisualOdometry.cpp:72, Camera.cpp:108-124).
         from kbslam.geom.camera import undistort_points
         feats = feats._replace(xy=undistort_points(intr, feats.xy))
+    return feats, depth_kp
+
+
+def _track_step_impl(state, rgb, depth, mask, key, intr, cfg,
+                     defer_insert=False):
+    m = state.map
+    empty = m.is_empty()
+
+    feats, depth_kp = extract_frame(rgb, depth, mask, intr, cfg)
 
     # --- match vs the last keyframe(s) (VisualOdometry.cpp:144) -----------
     slot = m.last_slot()

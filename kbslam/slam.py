@@ -175,7 +175,19 @@ class SLAM:
             self._close_loop = make_close_loop(lc.max_iterations)
         else:
             self._loop_probe = None
+        if config.loop.reloc_after > 0:
+            from kbslam.loop.reloc import make_reloc_step
+
+            self._reloc = make_reloc_step(
+                config, self.intr, use_mask=use_mask,
+                word_bits=config.loop.word_bits,
+                score_min=config.loop.reloc_score_min,
+                min_inliers=config.loop.reloc_min_inliers, seed=seed)
+        else:
+            self._reloc = None
+        self._fail_streak = 0
         self.loop_events: List[dict] = []
+        self.reloc_events: List[dict] = []
         self.state = init_state(config)
         self._ones_mask = None  # cached device buffer for mask-less callers
         self._frame = 0
@@ -232,6 +244,9 @@ class SLAM:
         if self._loop_probe is not None and bool(o.added_kf):
             self._loop_tick()
 
+        if self._reloc is not None:
+            o = self._reloc_tick(o, args[1:])
+
         T = pose_T(np.asarray(o.pose_q), o.pose_t)
         if bool(o.success) or self._frame == 0:
             self.trajectory.append(T)
@@ -281,6 +296,34 @@ class SLAM:
             pg_final_cost=float(stats.final_cost),
             pg_accepted=int(stats.accepted),
         ))
+
+    def _reloc_tick(self, o, frame_args):
+        """After reloc_after consecutive failures, attempt to re-anchor
+        tracking via place recognition (loop/reloc.py). On success the
+        frame becomes a fresh keyframe and its recovered pose replaces
+        the held one in this frame's output/diagnostics."""
+        if bool(o.success) or self.num_keyframes == 0:
+            self._fail_streak = 0
+            return o
+        self._fail_streak += 1
+        if self._fail_streak < self.config.loop.reloc_after:
+            return o
+        if self._ba_inflight is not None:
+            return o  # a pending merge would clobber the fresh anchor
+        new_state, r = self._reloc(self.state, *frame_args)
+        self.state = new_state
+        if not bool(r.success):
+            return o
+        self._fail_streak = 0
+        self.reloc_events.append(dict(
+            frame=self._frame, matched_id=int(self.state.map.kf_id[r.slot])
+            if int(r.slot) < self.state.map.capacity_kf else -1,
+            score=float(r.score), inliers=int(r.num_inliers)))
+        return o._replace(success=r.success, added_kf=jnp.bool_(True),
+                          pose_q=r.pose_q, pose_t=r.pose_t,
+                          num_inliers=r.num_inliers,
+                          anchor_id=self.state.map.num_kf - 1,
+                          anchor_q=r.pose_q, anchor_t=r.pose_t)
 
     def _async_ba_tick(self, added_kf: bool) -> bool:
         """The reference's BA-thread gating (main.cpp:22-47), functional:

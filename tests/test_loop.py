@@ -201,3 +201,71 @@ def test_loop_closure_end_to_end_on_revisit():
     # 23.0 -> 22.2 refined mm on this scene/seed)
     assert kf_on <= 1.15 * kf_off + 1e-3, (kf_on, kf_off)
     assert ref_on <= 1.10 * ref_off + 1e-3, (ref_on, ref_off)
+
+
+def test_relocalization_recovers_after_tracking_loss():
+    """Lost-and-found: pan away (last keyframe loses all overlap with
+    the start), blank frames (tracking loss), then return to the start.
+    Reference contract: lost forever (matching is last-keyframe-only).
+    With reloc enabled the frame is place-recognized against the whole
+    ring, verified, and re-anchored as a fresh keyframe; the tail
+    tracks at ~20-30 mm (gauge-relative) vs 0.6-1.0 m of wrong-pose
+    drift without it (measured)."""
+    from kbslam.config import (KeyframePolicyConfig, LoopConfig, MapConfig,
+                               OrbConfig, PnPConfig, SLAMConfig)
+    from kbslam.io.synthetic import render_sequence
+    from kbslam.slam import SLAM
+
+    def pan(T):
+        poses = []
+        for i in range(T):
+            s = i / max(T - 1, 1)
+            R = Rotation.from_rotvec([0, 0.55 * s, 0]).as_matrix()
+            P = np.eye(4)
+            P[:3, :3] = R
+            P[:3, 3] = [2.2 * s, 0.0, -2.5]
+            poses.append(P)
+        return np.stack(poses)
+
+    T_sweep, T_blank, T_back = 22, 3, 8
+    poses = np.concatenate([pan(T_sweep), pan(T_sweep)[:T_blank],
+                            pan(T_sweep)[:T_back]])
+    seq = render_sequence(num_frames=len(poses), height=240, width=320,
+                          scene="spheres", seed=2, poses=poses)
+    rgb, dep = seq.rgb.copy(), seq.depth.copy()
+    rgb[T_sweep:T_sweep + T_blank] = 0
+    dep[T_sweep:T_sweep + T_blank] = 0
+
+    def run(reloc_after):
+        cfg = SLAMConfig(
+            image_height=240, image_width=320,
+            orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+            pnp=PnPConfig(num_hypotheses=128),
+            policy=KeyframePolicyConfig(min_frame_gap=4),
+            map=MapConfig(max_keyframes=16, max_map_points=8192),
+            loop=LoopConfig(reloc_after=reloc_after, reloc_score_min=0.4,
+                            reloc_min_inliers=30),
+        )
+        s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=False)
+        for i in range(len(poses)):
+            s.process(rgb[i], dep[i])
+        # gauge-relative tail error: both trajectories anchor frame 0
+        T0_gt_inv = np.linalg.inv(poses[0])
+        T0_est_inv = np.linalg.inv(s.frame_poses[0])
+        errs = [np.linalg.norm((T0_est_inv @ s.frame_poses[i])[:3, 3]
+                               - (T0_gt_inv @ poses[i])[:3, 3])
+                for i in range(T_sweep + T_blank, len(poses))]
+        return s, np.array(errs)
+
+    s_off, err_off = run(0)
+    s_on, err_on = run(2)
+
+    assert len(s_on.reloc_events) >= 1, "relocalization never fired"
+    ev = s_on.reloc_events[0]
+    assert ev["inliers"] >= 30 and ev["score"] >= 0.4, ev
+    tail_succ = [d["success"] for d in
+                 s_on.diagnostics[T_sweep + T_blank + 1:]]
+    assert all(tail_succ), tail_succ
+    # recovered tail tracks to mm; the lost run is off by ~a metre
+    assert err_on.max() < 0.08, err_on
+    assert err_off.max() > 0.3, err_off
