@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kbslam.config import SLAMConfig
 from kbslam.geom.camera import Intrinsics, unproject
@@ -52,12 +53,17 @@ def _word_ids(desc_bits: jnp.ndarray, word_bits: int) -> jnp.ndarray:
 
     Bit positions are spread across the descriptor (stride 256//bits)
     so the word reflects globally-distributed comparisons rather than
-    one sampling-pattern neighborhood."""
+    one sampling-pattern neighborhood. Implemented as ONE [.., 256]x[256]
+    matvec with a power-of-two selector vector: the obvious strided
+    gather desc[..., pos] costs ~45 ns/element serially on TPU
+    (CLAUDE.md gotcha #7 — ~88 ms over a full 64x3072 ring), the matvec
+    is MXU noise."""
     stride = 256 // word_bits
-    pos = jnp.arange(word_bits) * stride
-    bits = desc_bits[..., pos].astype(jnp.int32)
-    weights = 2 ** jnp.arange(word_bits, dtype=jnp.int32)
-    return jnp.sum(bits * weights, axis=-1)
+    pos = np.arange(word_bits) * stride
+    w = np.zeros(256, np.float32)
+    w[pos] = (2.0 ** np.arange(word_bits)).astype(np.float32)
+    ids = desc_bits.astype(jnp.float32) @ jnp.asarray(w)
+    return ids.astype(jnp.int32)
 
 
 def kf_signatures(kf_desc: jnp.ndarray, kf_valid: jnp.ndarray,
