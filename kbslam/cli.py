@@ -52,7 +52,8 @@ def main(argv=None):
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closure (place recognition + "
                     "pose-graph correction; capability extension — the "
-                    "reference has none). Per-frame path only")
+                    "reference has none). Works per-frame and chunked "
+                    "(--chunk: probes run chunk-late)")
     ap.add_argument("--reloc", type=int, default=0, metavar="N",
                     help="relocalize after N consecutive tracking "
                     "failures (0 = reference behavior: lost forever). "
@@ -153,9 +154,11 @@ def main(argv=None):
     if args.loop or args.reloc:
         import dataclasses
 
-        if args.chunk:
-            ap.error("--loop/--reloc run on the per-frame path (probes "
-                     "need per-insertion/per-failure host control)")
+        if args.chunk and args.reloc:
+            ap.error("--reloc runs on the per-frame path only (recovery "
+                     "must intervene on the frame that failed; chunked "
+                     "tracking has already committed the whole chunk). "
+                     "--loop works chunked: probes run chunk-late.")
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, enabled=bool(args.loop), reloc_after=args.reloc))
     if args.chunk:
@@ -321,6 +324,8 @@ def _run_chunked(args, cfg, K, frames, dist):
         gray_ingress=bool(args.gray),
         streaming_fps=round(n / wall, 1) if wall > 0 else None,
     )
+    if args.loop:
+        summary["loop_closures"] = len(cs.loop_events)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

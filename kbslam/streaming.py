@@ -93,8 +93,9 @@ class ChunkedStream:
     dispatch. Outputs arrive via drain() with <= 2C frames of latency;
     flush() pads the final partial chunk (masked by count) and drains
     everything. Keyframe-triggered work (local BA with
-    ``ba_mode="async"``, culling with ``cull=True``) runs chunk-late,
-    mirroring the reference's detached-BA-thread timing.
+    ``ba_mode="async"``, culling with ``cfg.cull.enabled``, loop
+    closure with ``cfg.loop.enabled``) runs chunk-late, mirroring the
+    reference's detached-BA-thread timing.
     """
 
     def __init__(self, cfg: SLAMConfig, intr: Intrinsics, state: TrackState,
@@ -141,6 +142,21 @@ class ChunkedStream:
             self._cull = make_cull(cfg.cull)
         else:
             self._cull = None
+        if cfg.loop.enabled:
+            from kbslam.loop.closure import make_close_loop
+            from kbslam.loop.detect import make_loop_probe
+
+            lc = cfg.loop
+            self._loop_probe = make_loop_probe(
+                cfg, intr, word_bits=lc.word_bits,
+                min_separation=lc.min_separation, score_min=lc.score_min,
+                min_inliers=lc.min_inliers,
+                max_trans_disc=lc.max_trans_disc,
+                max_rot_disc_deg=lc.max_rot_disc_deg)
+            self._close_loop = make_close_loop(lc.max_iterations)
+        else:
+            self._loop_probe = None
+        self.loop_events: List[dict] = []
         self._host: List[tuple] = []
         self._inflight = []   # [(n_real, batched TrackOutput futures)]
         self._drained: List[dict] = []
@@ -157,11 +173,11 @@ class ChunkedStream:
                                       jax.device_put(real))
         self._inflight.append((n_real, outs))
 
-    def _collect(self, n_real, outs) -> bool:
-        """Drain one chunk's outputs to the host; returns whether any
-        frame in it inserted a keyframe (the BA/cull trigger)."""
+    def _collect(self, n_real, outs) -> int:
+        """Drain one chunk's outputs to the host; returns how many
+        frames in it inserted a keyframe (the BA/cull/loop trigger)."""
         o = jax.device_get(outs)  # hard barrier: bytes on host
-        added = False
+        added = 0
         for i in range(n_real):
             self._drained.append(dict(
                 frame=self._frame,
@@ -177,7 +193,7 @@ class ChunkedStream:
                 anchor_q=np.asarray(o.anchor_q[i]),
                 anchor_t=np.asarray(o.anchor_t[i]),
             ))
-            added |= bool(o.added_kf[i])
+            added += int(bool(o.added_kf[i]))
             self._frame += 1
         return added
 
@@ -216,6 +232,37 @@ class ChunkedStream:
             # ONE async dispatch: snapshot-copy + solve fused
             self._ba_inflight = self._ba_solve(self.state.map)
 
+    def _loop_tick(self, n_new: int):
+        """Chunk-late loop closure: probe each keyframe the drained
+        chunk(s) inserted, oldest first — the same per-insertion probe
+        SLAM._loop_tick runs, arriving up to 2C frames late (the same
+        latency contract as chunk-late BA/cull above). Skipped while an
+        async BA solve is in flight: its merge would write
+        PRE-correction window poses over the corrected ring."""
+        if self._ba_inflight is not None:
+            return
+        num_kf = int(self.state.map.num_kf)
+        for ordinal in range(num_kf - n_new + 1, num_kf + 1):
+            m = self.state.map
+            qslot = (ordinal - 1) % m.capacity_kf
+            key = jax.random.fold_in(jax.random.PRNGKey(0x100B), ordinal)
+            cand, cons = self._loop_probe(m, jnp.int32(qslot), key)
+            if not bool(cons.ok):
+                continue
+            new_map, stats = self._close_loop(m, cand.slot, jnp.int32(qslot),
+                                              cons.rel_q, cons.rel_t, cons.ok)
+            self.state = self.state._replace(map=new_map)
+            self.loop_events.append(dict(
+                frame=self._frame,
+                query_id=ordinal - 1,
+                cand_id=int(m.kf_id[cand.slot]),
+                score=float(cand.score),
+                inliers=int(cons.num_inliers),
+                pg_initial_cost=float(stats.initial_cost),
+                pg_final_cost=float(stats.final_cost),
+                pg_accepted=int(stats.accepted),
+            ))
+
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
         if self.gray and rgb.ndim == 3:
@@ -241,10 +288,12 @@ class ChunkedStream:
         out: List[dict] = []
         # keep ONE chunk in flight: drain older results while the newest
         # chunk computes (downward transfer overlaps device work)
-        added = False
+        added = 0
         while len(self._inflight) > 1:
-            added |= self._collect(*self._inflight.pop(0))
-        self._kf_tick(added)
+            added += self._collect(*self._inflight.pop(0))
+        self._kf_tick(added > 0)
+        if added and self._loop_probe is not None:
+            self._loop_tick(added)
         if self._drained:
             out, self._drained = self._drained, []
         return out
@@ -257,11 +306,15 @@ class ChunkedStream:
             while len(self._host) < self.chunk:
                 self._host.append(self._host[-1])
             self._dispatch(n_real)
-        added = False
+        added = 0
         while self._inflight:
-            added |= self._collect(*self._inflight.pop(0))
-        self._kf_tick(added, block=True)
+            added += self._collect(*self._inflight.pop(0))
+        self._kf_tick(added > 0, block=True)
         if self._ba_inflight is not None:  # solve dispatched just above
             self._kf_tick(False, block=True)
+        # probe AFTER the final merge so the BA-inflight guard can't skip
+        # the end-of-sequence closures
+        if added and self._loop_probe is not None:
+            self._loop_tick(added)
         out, self._drained = self._drained, []
         return out

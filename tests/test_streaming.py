@@ -278,3 +278,57 @@ def test_flush_merges_inflight_ba_without_is_ready():
     cs.flush()
     assert cs._ba_inflight is None
     assert len(cs.ba_stats) > n_before, "final in-flight solve was dropped"
+
+
+def test_chunked_loop_closure_on_revisit():
+    """Loop closure on the chunked streaming path (cfg.loop.enabled):
+    probes run chunk-late on each drained keyframe insertion — the same
+    place-recognition + verification + pose-graph machinery the
+    per-frame path runs (tests/test_loop.py e2e), composed with the
+    chunked executor. Gates mirror the per-frame e2e test: closures
+    fire against much older keyframes with enough inliers, loop-off
+    streams produce none, and keyframe-ring accuracy (where the
+    correction lives) does not degrade."""
+    from kbslam.config import KeyframePolicyConfig, LoopConfig
+    from kbslam.eval.trajectory import ate_rmse
+    from kbslam.slam import map_keyframe_positions
+
+    T = 60
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres", depth_noise_mm=3.0, seed=1)
+    intr = Intrinsics.from_matrix(seq.K)
+
+    def run(loop_on):
+        cfg = SLAMConfig(
+            image_height=240, image_width=320,
+            orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+            pnp=PnPConfig(num_hypotheses=128),
+            policy=KeyframePolicyConfig(min_frame_gap=3,
+                                        rotation_threshold_deg=2.0),
+            map=MapConfig(max_keyframes=32, max_map_points=16384),
+            loop=LoopConfig(enabled=loop_on, min_separation=8,
+                            score_min=0.7, min_inliers=40,
+                            max_trans_disc=0.10, max_rot_disc_deg=5.0),
+        )
+        cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=8)
+        got = []
+        for i in range(T):
+            got += cs.feed(seq.rgb[i], seq.depth[i])
+        got += cs.flush()
+        assert len(got) == T
+        kf_frames = [r["frame"] for r in got if r["added_kf"]]
+        kf_ate = ate_rmse(map_keyframe_positions(cs.state.map),
+                          seq.poses[kf_frames][:, :3, 3])
+        return cs, kf_ate
+
+    cs_off, kf_off = run(False)
+    cs_on, kf_on = run(True)
+
+    assert not cs_off.loop_events
+    assert len(cs_on.loop_events) >= 1, "no loop ever closed (chunked)"
+    for e in cs_on.loop_events:
+        # revisits must close against a much older keyframe
+        assert e["query_id"] - e["cand_id"] >= 8, e
+        assert e["inliers"] >= 40, e
+        assert e["pg_final_cost"] <= e["pg_initial_cost"] * 1.001, e
+    assert kf_on <= 1.15 * kf_off + 1e-3, (kf_on, kf_off)
