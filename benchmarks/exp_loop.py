@@ -19,7 +19,10 @@ best-of-N against tunnel congestion.
 Run on real TPU: python benchmarks/exp_loop.py
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
