@@ -353,6 +353,51 @@ def main():
     _log(f"ba re-solve: {ba_ms:.2f} ms, last iters={int(stats.iterations)}, "
          f"accepted={int(stats.accepted)}")
 
+    # --- loop-closure probe cost (capability extension, --loop) -----------
+    # One probe per keyframe insertion: BoW signatures over the FULL ring +
+    # [K,W]x[W] scoring + mutual-best Hamming + batched PnP verification.
+    # 32 probes in one lax.scan dispatch (slots/keys VARY per iteration,
+    # every output consumed — CLAUDE.md gotchas #2/#3). Full sweep incl.
+    # the pose-graph correction: benchmarks/exp_loop.py.
+    loop_probe_ms = None
+    try:
+        from kbslam.loop.detect import make_loop_probe
+
+        lc = cfg.loop
+        probe = make_loop_probe(cfg, intr, word_bits=lc.word_bits,
+                                min_separation=lc.min_separation,
+                                score_min=lc.score_min,
+                                min_inliers=lc.min_inliers,
+                                max_trans_disc=lc.max_trans_disc,
+                                max_rot_disc_deg=lc.max_rot_disc_deg)
+        N_PROBE = 32
+
+        def probe_scan(m, slots, keys):
+            def body(acc, xs):
+                slot, key = xs
+                cand, cons = probe(m, slot, key)
+                s = (cand.score + jnp.sum(cand.scores) + cons.num_inliers
+                     + jnp.sum(cons.rel_q) + jnp.sum(cons.rel_t)
+                     + cand.slot + cons.ok.astype(jnp.float32))
+                return acc + s, None
+            return jax.lax.scan(body, jnp.float32(0.0), (slots, keys))[0]
+
+        probe_scan_j = jax.jit(probe_scan)
+        slots = jnp.arange(N_PROBE, dtype=jnp.int32) % max(
+            int(state.map.num_kf), 1)
+        keys = jax.random.split(jax.random.PRNGKey(7), N_PROBE)
+        _log("compiling loop-probe scan")
+        np.asarray(probe_scan_j(state.map, slots, keys))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(probe_scan_j(state.map, slots, keys))
+            best = min(best, (time.perf_counter() - t0) / N_PROBE * 1e3)
+        loop_probe_ms = round(best, 3)
+        _log(f"loop probe: {loop_probe_ms} ms/keyframe insertion")
+    except Exception as e:  # must not kill the headline
+        loop_probe_ms = repr(e)
+
     # --- global-BA stress (BASELINE config 5), driver-captured ------------
     _log("global BA stress (200 KF / 50k landmarks, single chip)")
     import subprocess
@@ -396,6 +441,7 @@ def main():
             "local_ba_ms_fresh": round(ba_fresh_ms, 2),
             "local_ba_accepted_fresh": accepted_fresh,
             "local_ba_ms_resolve_converged": round(ba_ms, 2),
+            "loop_probe_ms_per_kf_insertion": loop_probe_ms,
             "global_ba_stress_s": ga_line.get("value"),
             "global_ba_stress": ga_line.get("extra"),
             "target_fps_north_star": 500,

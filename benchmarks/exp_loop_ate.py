@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""What does loop closure buy in ATE on a long revisiting run?
+
+The pose-graph win at large drift is pinned on a synthetic graph
+(tests/test_loop.py::test_pose_graph_reduces_drift) and the e2e
+integration at mm-scale drift (test_loop_closure_end_to_end_on_revisit)
+— but no end-to-end number exists for the regime loop closure is FOR:
+a long multi-lap trajectory whose VO drift accumulates between
+revisits. The default synthetic sweep is periodic (pose at s=1 equals
+s=0, io/synthetic.py default_trajectory), so tiling laps produces
+genuine revisits of mapped territory.
+
+Runs full SLAM (tracking + on-keyframe local BA) with loop closure
+on vs off over L laps with sensor-style depth noise, and reports
+keyframe ATE, refined-trajectory ATE, endpoint drift (the loop metric:
+final-frame position error), and the verified-closure count.
+
+CPU run (accuracy is platform-independent; tests run the same path):
+  python benchmarks/exp_loop_ate.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from kbslam.config import (KeyframePolicyConfig, LoopConfig, MapConfig,
+                           OrbConfig, PnPConfig, SLAMConfig)
+from kbslam.eval.trajectory import ate_rmse
+from kbslam.io.synthetic import default_trajectory, render_sequence
+from kbslam.slam import SLAM
+
+
+def _log(m):
+    print(f"[loop_ate {time.strftime('%H:%M:%S')}] {m}", file=sys.stderr,
+          flush=True)
+
+
+def lap_trajectory(frames_per_lap, laps):
+    """Tile the periodic default sweep: frame 0 of lap k+1 continues
+    seamlessly from the last frame of lap k (pose(s=1) == pose(s=0))."""
+    one = default_trajectory(frames_per_lap)
+    return np.concatenate([one[:-1]] * laps + [one[-1:]])
+
+
+def _cfg(loop_on):
+    return SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        policy=KeyframePolicyConfig(min_frame_gap=3,
+                                    rotation_threshold_deg=2.0),
+        map=MapConfig(max_keyframes=64, max_map_points=32768),
+        loop=LoopConfig(enabled=loop_on, min_separation=8,
+                        score_min=0.7, min_inliers=40,
+                        max_trans_disc=0.10, max_rot_disc_deg=5.0),
+    )
+
+
+def run_one(cfg, seq):
+    s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=False)
+    for i in range(len(seq.rgb)):
+        s.process(seq.rgb[i], seq.depth[i])
+    est = np.stack(s.frame_poses)
+    refined = s.refined_trajectory()[:, :3, 3]
+    gt = seq.poses[:, :3, 3]
+    kf_frames = [d["frame"] for d in s.diagnostics if d["added_kf"]]
+    kf = ate_rmse(s.keyframe_positions(), seq.poses[kf_frames][:, :3, 3])
+    return dict(
+        online_mm=round(ate_rmse(est[:, :3, 3], gt) * 1e3, 2),
+        refined_mm=round(ate_rmse(refined, gt) * 1e3, 2),
+        kf_mm=round(kf * 1e3, 2),
+        endpoint_mm=round(float(np.linalg.norm(refined[-1] - gt[-1])) * 1e3,
+                          2),
+        fails=sum(not d["success"] for d in s.diagnostics),
+        keyframes=len(kf_frames),
+        loops=len(s.loop_events),
+    )
+
+
+def main():
+    F, L = 60, 3
+    poses = lap_trajectory(F, L)
+    results = {}
+    for seed in (0, 1, 2):
+        seq = render_sequence(num_frames=len(poses), height=240, width=320,
+                              scene="spheres", depth_noise_mm=5.0,
+                              seed=seed, poses=poses)
+        for loop_on in (False, True):
+            key = f"seed{seed}_loop{'on' if loop_on else 'off'}"
+            t0 = time.time()
+            results[key] = run_one(_cfg(loop_on), seq)
+            _log(f"{key}: {results[key]} ({time.time() - t0:.0f}s)")
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
