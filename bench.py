@@ -375,7 +375,7 @@ def main():
         def probe_scan(m, slots, keys):
             def body(acc, xs):
                 slot, key = xs
-                cand, cons = probe(m, slot, key)
+                cand, cons = probe(m, slot, m.kf_id[slot], key)
                 s = (cand.score + jnp.sum(cand.scores) + cons.num_inliers
                      + jnp.sum(cons.rel_q) + jnp.sum(cons.rel_t)
                      + cand.slot + cons.ok.astype(jnp.float32))

@@ -79,7 +79,7 @@ def main():
     def probe_scan(m, slots, keys):
         def body(acc, xs):
             slot, key = xs
-            cand, cons = probe(m, slot, key)
+            cand, cons = probe(m, slot, m.kf_id[slot], key)
             # consume EVERY output so nothing is hoisted or sliced away
             s = (cand.score + jnp.sum(cand.scores)
                  + cons.num_inliers + jnp.sum(cons.rel_q)

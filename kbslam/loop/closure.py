@@ -108,8 +108,9 @@ def apply_pose_graph_correction(m, g: PoseGraph, id_min):
     kf_q = m.kf_q.at[row_idx].set(g.node_q, mode="drop")
     kf_t = m.kf_t.at[row_idx].set(g.node_t, mode="drop")
 
-    ref = jnp.clip(_landmark_ref_rank(m, id_min), 0, K - 1)
-    observed = _landmark_ref_rank(m, id_min) < K
+    rank = _landmark_ref_rank(m, id_min)  # once: XLA does not CSE loops
+    ref = jnp.clip(rank, 0, K - 1)
+    observed = rank < K
     Dl = SE3(Dq[ref], Dt[ref])
     mp_pos = jnp.where(observed[:, None], Dl.apply(m.mp_pos), m.mp_pos)
     return m._replace(kf_q=kf_q, kf_t=kf_t, mp_pos=mp_pos)
@@ -122,18 +123,23 @@ def close_loop(m, loop_slot_i, loop_slot_j, loop_rel_q, loop_rel_t,
     With loop_ok=False the loop edge has zero weight, the odometry-only
     graph is already at its optimum, and the map comes back unchanged
     (up to float noise) — callers can dispatch unconditionally."""
-    g, id_min = build_pose_graph(m, loop_slot_i, loop_slot_j,
-                                 loop_rel_q, loop_rel_t,
-                                 loop_w=loop_w, loop_ok=loop_ok)
-    g2, stats = solve_pose_graph(g, max_iterations=max_iterations)
-    return apply_pose_graph_correction(m, g2, id_min), stats
+    # bf16-default TPU matmul precision corrupts the GN normal
+    # equations J^T J (CLAUDE.md gotcha #4) — same wrap as ba.local_ba.
+    with jax.default_matmul_precision("highest"):
+        g, id_min = build_pose_graph(m, loop_slot_i, loop_slot_j,
+                                     loop_rel_q, loop_rel_t,
+                                     loop_w=loop_w, loop_ok=loop_ok)
+        g2, stats = solve_pose_graph(g, max_iterations=max_iterations)
+        return apply_pose_graph_correction(m, g2, id_min), stats
 
 
 @functools.lru_cache(maxsize=8)
-def make_close_loop(max_iterations: int = 50):
+def make_close_loop(max_iterations: int = 50, loop_w: float = 1.0):
     """lru_cached jit of close_loop (no donation: callers may keep the
-    pre-correction map for diagnostics)."""
+    pre-correction map for diagnostics). ``loop_w`` is
+    LoopConfig.loop_weight — the pose-graph weight of the loop edge
+    relative to the unit-weight odometry chain."""
     return jax.jit(
         lambda m, si, sj, rq, rt, ok: close_loop(
-            m, si, sj, rq, rt, loop_ok=ok,
+            m, si, sj, rq, rt, loop_ok=ok, loop_w=loop_w,
             max_iterations=max_iterations))

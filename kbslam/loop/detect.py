@@ -168,16 +168,28 @@ def make_loop_probe(cfg: SLAMConfig, intr: Intrinsics, *,
                     max_rot_disc_deg: float = 10.0):
     """ONE jitted dispatch: detect + (always-executed, masked) verify.
     Returns (LoopCandidate, LoopConstraint); constraint.ok already folds
-    in candidate.found."""
+    in candidate.found.
 
-    def probe(m, query_slot, key):
-        cand = detect_loop(m, query_slot, word_bits=word_bits,
-                           min_separation=min_separation,
-                           score_min=score_min)
-        cons = verify_loop(m, cand.slot, query_slot, key, intr, cfg,
-                           min_inliers=min_inliers,
-                           max_trans_disc=max_trans_disc,
-                           max_rot_disc_deg=max_rot_disc_deg)
-        return cand, cons._replace(ok=cons.ok & cand.found)
+    ``query_id`` is the keyframe id the caller EXPECTS in ``query_slot``
+    (its insertion ordinal − 1): the probe no-ops when the slot no
+    longer holds it (evicted by a ring wrap, or culled) — host runners
+    queue probes and may drain them late (loop/runner.py), so the gate
+    makes stale probes self-invalidating without a host-side read."""
+
+    def probe(m, query_slot, query_id, key):
+        # bf16-default TPU matmul precision corrupts the verification
+        # geometry (DLT / GN normal matrices) — same rationale as
+        # pipeline.track_step / ba.local_ba (CLAUDE.md gotcha #4).
+        with jax.default_matmul_precision("highest"):
+            cand = detect_loop(m, query_slot, word_bits=word_bits,
+                               min_separation=min_separation,
+                               score_min=score_min)
+            fresh = m.kf_id[query_slot] == query_id
+            cand = cand._replace(found=cand.found & fresh)
+            cons = verify_loop(m, cand.slot, query_slot, key, intr, cfg,
+                               min_inliers=min_inliers,
+                               max_trans_disc=max_trans_disc,
+                               max_rot_disc_deg=max_rot_disc_deg)
+            return cand, cons._replace(ok=cons.ok & cand.found)
 
     return jax.jit(probe)

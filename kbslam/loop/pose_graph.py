@@ -132,5 +132,10 @@ def solve_pose_graph(
 def make_pose_graph_solver(max_iterations: int = 50,
                            init_lambda: float = 1e-6):
     """lru_cached jit (same rationale as ba.local_ba.make_local_ba)."""
-    return jax.jit(lambda g: solve_pose_graph(g, max_iterations,
-                                              init_lambda))
+
+    def solve(g):
+        # J^T J needs real f32 on TPU (CLAUDE.md gotcha #4)
+        with jax.default_matmul_precision("highest"):
+            return solve_pose_graph(g, max_iterations, init_lambda)
+
+    return jax.jit(solve)

@@ -85,6 +85,14 @@ def _reloc_impl(state, rgb, depth, mask, key, intr, cfg,
     pnp = ransac_pnp(key, pts3d, pts2d, match.is_match, intr, cfg.pnp,
                      points3d_obs=pts3d_obs, obs_valid=depth_t > 0)
     success = found & pnp.success & (pnp.num_inliers >= min_inliers)
+    # Eviction guard: with a full ring, insert_keyframe below overwrites
+    # slot num_kf % capacity. If place recognition matched exactly that
+    # (oldest) keyframe, insertion would evict it BEFORE create_map_points
+    # fuses against it — the fusion would bind the new frame's keypoint
+    # rows to themselves at wrong-correspondence positions. Punt this
+    # rare case to the next reloc attempt (scores shift as frames move).
+    evict = (m.num_kf >= m.capacity_kf) & (slot == m.num_kf % m.capacity_kf)
+    success = success & jnp.logical_not(evict)
 
     kf_pose = SE3(m.kf_q[slot], m.kf_t[slot])
     new_pose = kf_pose.compose(pnp.T_cw.inverse()).normalize()

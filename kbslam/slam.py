@@ -162,19 +162,11 @@ class SLAM:
         else:
             self._cull = None
         if config.loop.enabled:
-            from kbslam.loop.closure import make_close_loop
-            from kbslam.loop.detect import make_loop_probe
+            from kbslam.loop.runner import LoopCloser
 
-            lc = config.loop
-            self._loop_probe = make_loop_probe(
-                config, self.intr, word_bits=lc.word_bits,
-                min_separation=lc.min_separation, score_min=lc.score_min,
-                min_inliers=lc.min_inliers,
-                max_trans_disc=lc.max_trans_disc,
-                max_rot_disc_deg=lc.max_rot_disc_deg)
-            self._close_loop = make_close_loop(lc.max_iterations)
+            self._loop = LoopCloser(config, self.intr)
         else:
-            self._loop_probe = None
+            self._loop = None
         if config.loop.reloc_after > 0:
             from kbslam.loop.reloc import make_reloc_step
 
@@ -186,7 +178,9 @@ class SLAM:
         else:
             self._reloc = None
         self._fail_streak = 0
-        self.loop_events: List[dict] = []
+        # public alias of the runner's event list (same list object)
+        self.loop_events: List[dict] = (
+            self._loop.events if self._loop is not None else [])
         self.reloc_events: List[dict] = []
         self.state = init_state(config)
         self._ones_mask = None  # cached device buffer for mask-less callers
@@ -239,13 +233,25 @@ class SLAM:
                                   wall_ms=(time.perf_counter() - tb) * 1e3)
             ran_ba = True
         elif self.ba_mode == "async":
-            ran_ba = self._async_ba_tick(bool(o.added_kf))
-
-        if self._loop_probe is not None and bool(o.added_kf):
-            self._loop_tick()
+            # merge-if-ready FIRST so loop probes below see a quiet pipe;
+            # the new solve dispatches LAST so it runs on the corrected
+            # map (probing between dispatch and merge is forbidden — the
+            # merge would write pre-correction poses over the ring)
+            ran_ba = self._async_ba_merge()
 
         if self._reloc is not None:
             o = self._reloc_tick(o, args[1:])
+
+        if self._loop is not None:
+            if bool(o.added_kf):
+                self._loop.note_insertions()
+            self.state = self._loop.tick(self.state, self._frame,
+                                         self._ba_inflight)
+
+        if (self.ba_mode == "async" and bool(o.added_kf)
+                and self._ba_inflight is None):
+            # ONE async dispatch: snapshot-copy + solve fused
+            self._ba_inflight = self._ba_solve(self.state.map)
 
         T = pose_T(np.asarray(o.pose_q), o.pose_t)
         if bool(o.success) or self._frame == 0:
@@ -268,34 +274,6 @@ class SLAM:
         self.diagnostics.append(diag)
         self._frame += 1
         return diag
-
-    def _loop_tick(self):
-        """Probe the just-inserted keyframe for a loop; on a verified
-        constraint, solve the pose graph and rigidly correct the map.
-        Skipped while an async BA solve is in flight: its merge would
-        write PRE-correction window poses over the corrected ring."""
-        if self._ba_inflight is not None:
-            return
-        m = self.state.map
-        qslot = (int(m.num_kf) - 1) % m.capacity_kf
-        key = jax.random.fold_in(jax.random.PRNGKey(0x100B),
-                                 int(m.num_kf))
-        cand, cons = self._loop_probe(m, jnp.int32(qslot), key)
-        if not bool(cons.ok):
-            return
-        new_map, stats = self._close_loop(m, cand.slot, jnp.int32(qslot),
-                                          cons.rel_q, cons.rel_t, cons.ok)
-        self.state = self.state._replace(map=new_map)
-        self.loop_events.append(dict(
-            frame=self._frame,
-            query_id=int(m.num_kf) - 1,
-            cand_id=int(m.kf_id[cand.slot]),
-            score=float(cand.score),
-            inliers=int(cons.num_inliers),
-            pg_initial_cost=float(stats.initial_cost),
-            pg_final_cost=float(stats.final_cost),
-            pg_accepted=int(stats.accepted),
-        ))
 
     def _reloc_tick(self, o, frame_args):
         """After reloc_after consecutive failures, attempt to re-anchor
@@ -325,23 +303,22 @@ class SLAM:
                           anchor_id=self.state.map.num_kf - 1,
                           anchor_q=r.pose_q, anchor_t=r.pose_t)
 
-    def _async_ba_tick(self, added_kf: bool) -> bool:
-        """The reference's BA-thread gating (main.cpp:22-47), functional:
-        at most one solve in flight; tracking never blocks on it; results
-        merge into the live map once ready."""
-        merged = False
-        if self._ba_inflight is not None:
-            snapshot, result, stats = self._ba_inflight
-            if all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
-                self.state = self.state._replace(
-                    map=self._merge(self.state.map, snapshot, result))
-                self._record_ba_stats(stats)
-                self._ba_inflight = None
-                merged = True
-        if added_kf and self._ba_inflight is None:
-            # ONE async dispatch: snapshot-copy + solve fused
-            self._ba_inflight = self._ba_solve(self.state.map)
-        return merged
+    def _async_ba_merge(self) -> bool:
+        """The merge half of the reference's BA-thread gating
+        (main.cpp:22-47), functional: at most one solve in flight;
+        tracking never blocks on it; results merge into the live map
+        once ready. The dispatch half lives in process() AFTER the loop
+        tick so a new solve always sees post-correction poses."""
+        if self._ba_inflight is None:
+            return False
+        snapshot, result, stats = self._ba_inflight
+        if not all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
+            return False
+        self.state = self.state._replace(
+            map=self._merge(self.state.map, snapshot, result))
+        self._record_ba_stats(stats)
+        self._ba_inflight = None
+        return True
 
     def run_global_ba(self, steps: int = 5, pcg_iters: int = 30,
                       mesh=None) -> list:
@@ -372,7 +349,8 @@ class SLAM:
                                   self.state.map)
 
     def finish(self):
-        """Drain any in-flight async BA (end-of-sequence)."""
+        """Drain any in-flight async BA, then any loop probes it was
+        deferring (end-of-sequence)."""
         if self._ba_inflight is not None:
             snapshot, result, stats = self._ba_inflight
             jax.block_until_ready(stats)
@@ -380,6 +358,8 @@ class SLAM:
                 map=self._merge(self.state.map, snapshot, result))
             self._record_ba_stats(stats)
             self._ba_inflight = None
+        if self._loop is not None:
+            self.state = self._loop.tick(self.state, self._frame, None)
 
     # --- map accessors (Map::GetKeyFramesPositions / GetMapPointsPositions,
     # Map.cpp:80-101 — display remap (x,-z,-y) applied by the viewer) ------

@@ -143,20 +143,14 @@ class ChunkedStream:
         else:
             self._cull = None
         if cfg.loop.enabled:
-            from kbslam.loop.closure import make_close_loop
-            from kbslam.loop.detect import make_loop_probe
+            from kbslam.loop.runner import LoopCloser
 
-            lc = cfg.loop
-            self._loop_probe = make_loop_probe(
-                cfg, intr, word_bits=lc.word_bits,
-                min_separation=lc.min_separation, score_min=lc.score_min,
-                min_inliers=lc.min_inliers,
-                max_trans_disc=lc.max_trans_disc,
-                max_rot_disc_deg=lc.max_rot_disc_deg)
-            self._close_loop = make_close_loop(lc.max_iterations)
+            self._loop = LoopCloser(cfg, intr)
         else:
-            self._loop_probe = None
-        self.loop_events: List[dict] = []
+            self._loop = None
+        # public alias of the runner's event list (same list object)
+        self.loop_events: List[dict] = (
+            self._loop.events if self._loop is not None else [])
         self._host: List[tuple] = []
         self._inflight = []   # [(n_real, batched TrackOutput futures)]
         self._drained: List[dict] = []
@@ -208,15 +202,21 @@ class ChunkedStream:
             num_pruned=int(s.num_pruned),
         ))
 
-    def _kf_tick(self, added_kf: bool, block: bool = False):
-        """Chunk-late keyframe-triggered work: cull, then the async-BA
-        gate (at most one solve in flight — the reference's atomic
-        baRunning flag, main.cpp:22-47)."""
+    def _kf_tick(self, n_added: int, block: bool = False):
+        """Chunk-late keyframe-triggered work, in dependency order:
+        cull, async-BA merge-if-ready, loop probes (pending-queued in
+        loop/runner.py — deferred while a solve is in flight, since its
+        merge would write PRE-correction window poses over the corrected
+        ring), then the new BA dispatch LAST so the solve runs on
+        post-correction poses (at most one in flight — the reference's
+        atomic baRunning flag, main.cpp:22-47). ``n_added`` counts
+        keyframe insertions among the DRAINED frames — never read off
+        the in-flight carry, which would force a host sync on the
+        still-computing chunk."""
+        added_kf = n_added > 0
         if added_kf and self._cull is not None:
             self.state = self.state._replace(map=self._cull(self.state.map))
-        if self.ba_mode != "async":
-            return
-        if self._ba_inflight is not None:
+        if self.ba_mode == "async" and self._ba_inflight is not None:
             snapshot, result, stats = self._ba_inflight
             if block or all(leaf.is_ready() for leaf in jax.tree.leaves(stats)):
                 self.state = self.state._replace(
@@ -228,40 +228,15 @@ class ChunkedStream:
                 # is unconditional, mirroring SLAM.finish.
                 self._record_ba_stats(jax.device_get(stats))
                 self._ba_inflight = None
-        if added_kf and self._ba_inflight is None:
+        if self._loop is not None:
+            if n_added:
+                self._loop.note_insertions(n_added)
+            self.state = self._loop.tick(self.state, self._frame,
+                                         self._ba_inflight)
+        if (self.ba_mode == "async" and added_kf
+                and self._ba_inflight is None):
             # ONE async dispatch: snapshot-copy + solve fused
             self._ba_inflight = self._ba_solve(self.state.map)
-
-    def _loop_tick(self, n_new: int):
-        """Chunk-late loop closure: probe each keyframe the drained
-        chunk(s) inserted, oldest first — the same per-insertion probe
-        SLAM._loop_tick runs, arriving up to 2C frames late (the same
-        latency contract as chunk-late BA/cull above). Skipped while an
-        async BA solve is in flight: its merge would write
-        PRE-correction window poses over the corrected ring."""
-        if self._ba_inflight is not None:
-            return
-        num_kf = int(self.state.map.num_kf)
-        for ordinal in range(num_kf - n_new + 1, num_kf + 1):
-            m = self.state.map
-            qslot = (ordinal - 1) % m.capacity_kf
-            key = jax.random.fold_in(jax.random.PRNGKey(0x100B), ordinal)
-            cand, cons = self._loop_probe(m, jnp.int32(qslot), key)
-            if not bool(cons.ok):
-                continue
-            new_map, stats = self._close_loop(m, cand.slot, jnp.int32(qslot),
-                                              cons.rel_q, cons.rel_t, cons.ok)
-            self.state = self.state._replace(map=new_map)
-            self.loop_events.append(dict(
-                frame=self._frame,
-                query_id=ordinal - 1,
-                cand_id=int(m.kf_id[cand.slot]),
-                score=float(cand.score),
-                inliers=int(cons.num_inliers),
-                pg_initial_cost=float(stats.initial_cost),
-                pg_final_cost=float(stats.final_cost),
-                pg_accepted=int(stats.accepted),
-            ))
 
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
@@ -291,9 +266,7 @@ class ChunkedStream:
         added = 0
         while len(self._inflight) > 1:
             added += self._collect(*self._inflight.pop(0))
-        self._kf_tick(added > 0)
-        if added and self._loop_probe is not None:
-            self._loop_tick(added)
+        self._kf_tick(added)
         if self._drained:
             out, self._drained = self._drained, []
         return out
@@ -309,12 +282,8 @@ class ChunkedStream:
         added = 0
         while self._inflight:
             added += self._collect(*self._inflight.pop(0))
-        self._kf_tick(added > 0, block=True)
+        self._kf_tick(added, block=True)
         if self._ba_inflight is not None:  # solve dispatched just above
-            self._kf_tick(False, block=True)
-        # probe AFTER the final merge so the BA-inflight guard can't skip
-        # the end-of-sequence closures
-        if added and self._loop_probe is not None:
-            self._loop_tick(added)
+            self._kf_tick(0, block=True)
         out, self._drained = self._drained, []
         return out

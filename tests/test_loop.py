@@ -269,3 +269,93 @@ def test_relocalization_recovers_after_tracking_loss():
     # recovered tail tracks to mm; the lost run is off by ~a metre
     assert err_on.max() < 0.08, err_on
     assert err_off.max() > 0.3, err_off
+
+
+def test_loop_runner_pending_queue_defers_and_drains():
+    """LoopCloser host-scheduling contract: probes queued while an async
+    BA solve is in flight are NOT dropped — they drain on the first
+    quiet tick (the pre-runner code dropped them, which silently
+    disabled loop closure under --ba async: a solve was dispatched on
+    every insertion right before the probe check)."""
+    from kbslam.loop.runner import LoopCloser
+
+    calls = []
+
+    class _Probe:
+        def __call__(self, m, qslot, qid, key):
+            calls.append(int(qid))
+            cand = type("C", (), dict(slot=jnp.int32(0),
+                                      score=jnp.float32(0.0)))()
+            cons = type("K", (), dict(ok=jnp.bool_(False),
+                                      num_inliers=jnp.int32(0),
+                                      rel_q=jnp.zeros(4),
+                                      rel_t=jnp.zeros(3)))()
+            return cand, cons
+
+    closer = LoopCloser.__new__(LoopCloser)  # skip jit factory setup
+    closer._probe = _Probe()
+    closer._close = None
+    closer.events = []
+    closer._pending = []
+    closer._num_insertions = 0
+
+    class _State:
+        map = type("M", (), dict(capacity_kf=8))()
+
+        def _replace(self, **kw):
+            return self
+
+    st = _State()
+    closer.note_insertions(2)
+    # BA in flight: both probes must be deferred, none dropped
+    closer.tick(st, frame=10, ba_inflight=object())
+    assert calls == [] and closer._pending == [1, 2]
+    # quiet tick: the queue drains in insertion order
+    closer.tick(st, frame=11, ba_inflight=None)
+    assert calls == [0, 1] and closer._pending == []
+    # nothing left on the next tick
+    closer.tick(st, frame=12, ba_inflight=None)
+    assert calls == [0, 1]
+
+
+def test_loop_probe_stale_query_is_self_invalidating():
+    """make_loop_probe gates on kf_id[slot] == query_id: a probe drained
+    late (pending queue) whose keyframe was evicted by a ring wrap or
+    culled must be a masked no-op, not a wrong loop against whatever
+    keyframe now occupies the slot."""
+    from kbslam.config import (MapConfig, OrbConfig, PnPConfig,
+                               SLAMConfig)
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.loop.detect import make_loop_probe
+    from kbslam.mapping.state import empty_map
+
+    rng = np.random.default_rng(5)
+    F = 64
+    cfg = SLAMConfig(
+        image_height=120, image_width=160,
+        orb=OrbConfig(num_features=F, num_levels=2, max_features=F),
+        pnp=PnPConfig(num_hypotheses=32),
+        map=MapConfig(max_keyframes=8, max_map_points=512),
+    )
+    intr = Intrinsics(fx=130.0, fy=130.0, cx=79.5, cy=59.5)
+    m = empty_map(cfg.map, cfg.orb)
+    descs = rng.integers(0, 2, size=(8, F, 256)).astype(np.uint8)
+    descs[5] = descs[0]  # slot 5 revisits slot 0's place
+    xy = rng.uniform(10, 100, size=(8, F, 2)).astype(np.float32)
+    m = m._replace(
+        kf_desc=jnp.asarray(descs),
+        kf_kp_valid=jnp.ones((8, F), bool),
+        kf_kp_xy=jnp.asarray(xy),
+        kf_kp_depth=jnp.full((8, F), 2.0, jnp.float32),
+        kf_id=jnp.arange(8),
+        num_kf=jnp.int32(8),
+    )
+    probe = make_loop_probe(cfg, intr, min_separation=3, score_min=0.9,
+                            min_inliers=4)
+    key = jax.random.PRNGKey(0)
+    # fresh probe: detection fires (slot 5 still holds keyframe id 5)
+    cand, _ = probe(m, jnp.int32(5), jnp.int32(5), key)
+    assert bool(cand.found) and int(cand.slot) == 0
+    # stale probe: the caller expected id 13 (slot recycled) — masked off
+    cand2, cons2 = probe(m, jnp.int32(5), jnp.int32(13), key)
+    assert not bool(cand2.found) and not bool(cons2.ok)

@@ -332,3 +332,45 @@ def test_chunked_loop_closure_on_revisit():
         assert e["inliers"] >= 40, e
         assert e["pg_final_cost"] <= e["pg_initial_cost"] * 1.001, e
     assert kf_on <= 1.15 * kf_off + 1e-3, (kf_on, kf_off)
+
+
+def test_chunked_loop_closure_composes_with_async_ba():
+    """Loop probes and async BA share the chunked executor: probes are
+    pending-queued while a solve is in flight (loop/runner.py) and drain
+    on quiet ticks — before the fix, every insertion dispatched a solve
+    right before the probe check, so --loop --ba async never closed a
+    single loop. Gates: solves ran, closures fired against much older
+    keyframes, and the merge/correction interleave kept the ring sane
+    (monotone ids, pose-graph cost non-increasing)."""
+    from kbslam.config import KeyframePolicyConfig, LoopConfig
+
+    T = 60
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres", depth_noise_mm=3.0, seed=1)
+    intr = Intrinsics.from_matrix(seq.K)
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        policy=KeyframePolicyConfig(min_frame_gap=3,
+                                    rotation_threshold_deg=2.0),
+        map=MapConfig(max_keyframes=32, max_map_points=16384),
+        loop=LoopConfig(enabled=True, min_separation=8, score_min=0.7,
+                        min_inliers=40, max_trans_disc=0.10,
+                        max_rot_disc_deg=5.0),
+    )
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=8,
+                       ba_mode="async")
+    got = []
+    for i in range(T):
+        got += cs.feed(seq.rgb[i], seq.depth[i])
+    got += cs.flush()
+    assert len(got) == T
+    assert len(cs.ba_stats) >= 1, "async BA never solved"
+    assert len(cs.loop_events) >= 1, "no loop closed under async BA"
+    for e in cs.loop_events:
+        assert e["query_id"] - e["cand_id"] >= 8, e
+        assert e["pg_final_cost"] <= e["pg_initial_cost"] * 1.001, e
+    ids = np.asarray(cs.state.map.kf_id)
+    live = ids[ids >= 0]
+    assert live.size == int(cs.state.map.num_kf)
