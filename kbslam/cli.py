@@ -60,6 +60,13 @@ def main(argv=None):
                     "Per-frame path only")
     ap.add_argument("--cull", action="store_true",
                     help="enable keyframe culling (disabled in the reference)")
+    ap.add_argument("--dense", action="store_true",
+                    help="fuse keyframe depth into a dense TSDF volume "
+                    "(capability extension — the reference's world model "
+                    "is sparse landmarks only). Per-frame path")
+    ap.add_argument("--save-surface", default=None, metavar="PATH.npy",
+                    help="write the TSDF zero-crossing point cloud "
+                    "(requires --dense)")
     ap.add_argument("--dist", default=None,
                     help="comma-separated k1,k2,p1,p2,k3 lens distortion "
                     "(reference DistCoeffs; zmq handshake value used if unset)")
@@ -161,6 +168,17 @@ def main(argv=None):
                      "--loop works chunked: probes run chunk-late.")
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, enabled=bool(args.loop), reloc_after=args.reloc))
+    if args.dense or args.save_surface:
+        import dataclasses
+
+        if not args.dense:
+            ap.error("--save-surface requires --dense")
+        if args.chunk:
+            ap.error("--dense runs on the per-frame path (fusion needs "
+                     "per-insertion host control; chunked support would "
+                     "buffer keyframe depth — not implemented)")
+        cfg = cfg.replace(dense=dataclasses.replace(cfg.dense,
+                                                    enabled=True))
     if args.chunk:
         _run_chunked(args, cfg, K, frames, dist)
         return
@@ -211,6 +229,13 @@ def main(argv=None):
         summary["loop_closures"] = len(slam.loop_events)
     if args.reloc:
         summary["relocalizations"] = len(slam.reloc_events)
+    if args.dense:
+        pts, res = slam.dense_surface()
+        summary["tsdf_observed_voxels"] = int(
+            (np.asarray(slam.tsdf.weight) > 0).sum())
+        summary["tsdf_surface_points"] = len(pts)
+        if args.save_surface:
+            np.save(args.save_surface, pts)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

@@ -199,6 +199,44 @@ class LoopConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DenseMapConfig:
+    """Dense TSDF volume — a deliberate capability EXTENSION: the
+    reference's world model is sparse landmarks only (Map.cpp), so a
+    user gets no reconstructed surface, free-space map, or collision
+    geometry. Disabled by default (reference parity).
+
+    TPU-first formulation (mapping/dense.py): voxel-CENTRIC projective
+    integration — every voxel center is transformed into the keyframe
+    camera (one [V,3]x[3,3] matmul), projected (dense arithmetic), and
+    reads its depth by ONE nearest-neighbor gather from the [H,W] depth
+    image (the single gather is the cost center, ~45 ns/element,
+    CLAUDE.md gotcha #7 — bilinear would pay it 4x for sub-voxel gains
+    the truncation band swallows). Updates are pure where-ops on fixed
+    [Nx,Ny,Nz] arrays: jit-stable shapes, no sparse bookkeeping.
+    Integration runs once per KEYFRAME insertion (not per frame)."""
+
+    enabled: bool = False
+    # grid: dims voxels along each world axis, metres per voxel, and the
+    # world position of voxel (0,0,0)'s minus corner. The volume lives
+    # in the SLAM WORLD frame — which is the FIRST CAMERA frame (frame 0
+    # is the identity gauge, pipeline.py): the default 8.2 x 8.2 x 2.7 m
+    # box therefore sits IN FRONT of the start pose (+z = optical axis),
+    # covering where an RGB-D rig actually sees surfaces. Offline users
+    # fusing ground-truth-posed depth should place the box in that
+    # trajectory's own world frame instead.
+    dims: tuple = (96, 96, 32)
+    voxel_size: float = 0.085
+    origin: tuple = (-4.08, -4.08, 0.2)
+    truncation: float = 0.25          # SDF clamp band, metres (~3 voxels)
+    max_weight: float = 64.0          # running-average saturation
+    # surface extraction: voxels with |tsdf| below this (in truncation
+    # units) are surface candidates (mapping/dense.py surface_points)
+    iso_band: float = 0.5
+    min_depth: float = 0.05           # reject degenerate returns
+    max_depth: float = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
 class MapConfig:
     """Fixed-capacity padded map state (replaces Map/KeyFrame/MapPoint,
     reference Map.cpp / KeyFrame.hpp / MapPoint.hpp)."""
@@ -249,6 +287,7 @@ class SLAMConfig:
     cull: CullConfig = dataclasses.field(default_factory=CullConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
     loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    dense: DenseMapConfig = dataclasses.field(default_factory=DenseMapConfig)
 
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)

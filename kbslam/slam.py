@@ -167,6 +167,15 @@ class SLAM:
             self._loop = LoopCloser(config, self.intr)
         else:
             self._loop = None
+        if config.dense.enabled:
+            from kbslam.mapping.dense import empty_tsdf, make_integrate
+
+            self.tsdf = empty_tsdf(config.dense)
+            self._integrate = make_integrate(config.dense, self.intr,
+                                             config.map.depth_scale)
+        else:
+            self.tsdf = None
+            self._integrate = None
         if config.loop.reloc_after > 0:
             from kbslam.loop.reloc import make_reloc_step
 
@@ -223,6 +232,13 @@ class SLAM:
         # (Map.cpp:63); flag-gated here with the same keep rules
         if self._cull is not None and bool(o.added_kf):
             self.state = self.state._replace(map=self._cull(self.state.map))
+
+        # dense TSDF fusion at the keyframe cadence (mapping/dense.py;
+        # capability extension — the reference has no dense world model)
+        if self._integrate is not None and bool(o.added_kf):
+            self.tsdf = self._integrate(self.tsdf, args[2],
+                                        jnp.asarray(o.pose_q),
+                                        jnp.asarray(o.pose_t))
 
         ran_ba = False
         if self.ba_mode == "on_keyframe" and bool(o.added_kf):
@@ -365,6 +381,17 @@ class SLAM:
     # Map.cpp:80-101 — display remap (x,-z,-y) applied by the viewer) ------
     def keyframe_positions(self) -> np.ndarray:
         return map_keyframe_positions(self.state.map)
+
+    def dense_surface(self) -> tuple:
+        """Zero-crossing point cloud of the TSDF volume (requires
+        ``config.dense.enabled``): (points [M,3] world, |tsdf| residual
+        [M]). See mapping/dense.py surface_points."""
+        if self.tsdf is None:
+            raise RuntimeError("dense mapping disabled "
+                               "(SLAMConfig.dense.enabled)")
+        from kbslam.mapping.dense import surface_points
+
+        return surface_points(self.tsdf, self.config.dense)
 
     def map_points(self) -> np.ndarray:
         return map_point_positions(self.state.map)
