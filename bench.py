@@ -398,6 +398,47 @@ def main():
     except Exception as e:  # must not kill the headline
         loop_probe_ms = repr(e)
 
+    # --- dense TSDF fusion cost (capability extension, --dense) -----------
+    # One fusion per keyframe insertion: [V,3]x[3,3] matmul + one
+    # nearest-neighbor depth gather + fused where-op updates. N fusions
+    # per lax.scan dispatch (poses VARY per iteration; weight consumed
+    # in full — gotchas #2/#3).
+    tsdf_ms = None
+    try:
+        from kbslam.geom.se3 import SE3 as _SE3
+        from kbslam.mapping.dense import empty_tsdf, integrate
+
+        dcfg = cfg.dense
+        depth_m = jnp.asarray(
+            np.asarray(seq.depth[0], np.float32) * cfg.map.depth_scale)
+        N_FUSE = 32
+
+        def fuse_scan(s, qs, ts, d):
+            def body(s, xs):
+                q, t = xs
+                return integrate(s, d + 1e-4 * q[0], _SE3(q, t), intr,
+                                 dcfg), None
+            return jax.lax.scan(body, s, (qs, ts))[0]
+
+        fuse_j = jax.jit(fuse_scan)
+        qs = jnp.tile(jnp.array([1.0, 0, 0, 0]), (N_FUSE, 1))
+        ts = jnp.linspace(0.0, 0.1, N_FUSE)[:, None] * jnp.ones(3)
+        s0 = empty_tsdf(dcfg)
+        _log("compiling TSDF fuse scan")
+        np.asarray(fuse_j(s0, qs, ts, depth_m).weight.sum())
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out_t = fuse_j(s0, qs, ts, depth_m)
+            np.asarray(out_t.weight.sum())
+            np.asarray(out_t.tsdf[0, 0, :4])
+            best = min(best, (time.perf_counter() - t0) / N_FUSE * 1e3)
+        tsdf_ms = round(best, 3)
+        _log(f"TSDF fuse: {tsdf_ms} ms/keyframe "
+             f"({dcfg.dims[0] * dcfg.dims[1] * dcfg.dims[2]} voxels)")
+    except Exception as e:  # must not kill the headline
+        tsdf_ms = repr(e)
+
     # --- global-BA stress (BASELINE config 5), driver-captured ------------
     _log("global BA stress (200 KF / 50k landmarks, single chip)")
     import subprocess
@@ -442,6 +483,7 @@ def main():
             "local_ba_accepted_fresh": accepted_fresh,
             "local_ba_ms_resolve_converged": round(ba_ms, 2),
             "loop_probe_ms_per_kf_insertion": loop_probe_ms,
+            "tsdf_fuse_ms_per_kf_insertion": tsdf_ms,
             "global_ba_stress_s": ga_line.get("value"),
             "global_ba_stress": ga_line.get("extra"),
             "target_fps_north_star": 500,

@@ -63,7 +63,8 @@ def main(argv=None):
     ap.add_argument("--dense", action="store_true",
                     help="fuse keyframe depth into a dense TSDF volume "
                     "(capability extension — the reference's world model "
-                    "is sparse landmarks only). Per-frame path")
+                    "is sparse landmarks only). Works per-frame and "
+                    "chunked (--chunk: fusion runs chunk-late)")
     ap.add_argument("--save-surface", default=None, metavar="PATH.npy",
                     help="write the TSDF zero-crossing point cloud "
                     "(requires --dense)")
@@ -173,10 +174,6 @@ def main(argv=None):
 
         if not args.dense:
             ap.error("--save-surface requires --dense")
-        if args.chunk:
-            ap.error("--dense runs on the per-frame path (fusion needs "
-                     "per-insertion host control; chunked support would "
-                     "buffer keyframe depth — not implemented)")
         cfg = cfg.replace(dense=dataclasses.replace(cfg.dense,
                                                     enabled=True))
     if args.chunk:
@@ -351,6 +348,15 @@ def _run_chunked(args, cfg, K, frames, dist):
     )
     if args.loop:
         summary["loop_closures"] = len(cs.loop_events)
+    if args.dense:
+        from kbslam.mapping.dense import surface_points
+
+        pts, _ = surface_points(cs.tsdf, cfg.dense)
+        summary["tsdf_observed_voxels"] = int(
+            (np.asarray(cs.tsdf.weight) > 0).sum())
+        summary["tsdf_surface_points"] = len(pts)
+        if args.save_surface:
+            np.save(args.save_surface, pts)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

@@ -151,10 +151,23 @@ class ChunkedStream:
         # public alias of the runner's event list (same list object)
         self.loop_events: List[dict] = (
             self._loop.events if self._loop is not None else [])
+        if cfg.dense.enabled:
+            from kbslam.mapping.dense import empty_tsdf, make_integrate
+
+            self.tsdf = empty_tsdf(cfg.dense)
+            self._integrate = make_integrate(cfg.dense, intr,
+                                             cfg.map.depth_scale)
+            # keyframe fusion needs the frame's depth AFTER it drains
+            # (up to 2C frames late): keep recent host depth by index
+            self._depth_ring: dict = {}
+        else:
+            self.tsdf = None
+            self._integrate = None
         self._host: List[tuple] = []
         self._inflight = []   # [(n_real, batched TrackOutput futures)]
         self._drained: List[dict] = []
-        self._frame = 0
+        self._frame = 0   # drained-frame cursor
+        self._fed = 0     # fed-frame cursor (== _frame once drained)
 
     def _dispatch(self, n_real: int):
         rgb = jax.device_put(np.stack([f[0] for f in self._host]))
@@ -187,6 +200,15 @@ class ChunkedStream:
                 anchor_q=np.asarray(o.anchor_q[i]),
                 anchor_t=np.asarray(o.anchor_t[i]),
             ))
+            if bool(o.added_kf[i]) and self._integrate is not None:
+                # chunk-late TSDF fusion of the keyframe's depth at its
+                # drained pose (mapping/dense.py; ~0.6 MB re-upload per
+                # insertion — negligible next to the frame stream)
+                self.tsdf = self._integrate(
+                    self.tsdf, jnp.asarray(self._depth_ring[self._frame]),
+                    jnp.asarray(o.pose_q[i]), jnp.asarray(o.pose_t[i]))
+            if self._integrate is not None:
+                self._depth_ring.pop(self._frame, None)
             added += int(bool(o.added_kf[i]))
             self._frame += 1
         return added
@@ -240,6 +262,9 @@ class ChunkedStream:
 
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
+        if self._integrate is not None:
+            self._depth_ring[self._fed] = depth
+        self._fed += 1
         if self.gray and rgb.ndim == 3:
             from kbslam.frontend.image import GRAY_WEIGHTS
             # round (not truncate): keeps the u8 quantization within the

@@ -138,3 +138,44 @@ def test_cli_dense_smoke(tmp_path):
     assert summary["tsdf_surface_points"] > 0
     pts = np.load(out)
     assert pts.shape[1] == 3 and len(pts) == summary["tsdf_surface_points"]
+
+
+def test_chunked_dense_matches_per_frame_path():
+    """Chunked streaming fuses the same keyframes at the same drained
+    poses the per-frame path does (chunked == per-frame tracking is
+    pinned in test_streaming.py), so with BA off the TSDF volume must
+    come out identical."""
+    import dataclasses
+
+    from kbslam.config import MapConfig, OrbConfig, PnPConfig, SLAMConfig
+    from kbslam.pipeline import init_state
+    from kbslam.slam import SLAM
+    from kbslam.streaming import ChunkedStream
+
+    T = 24
+    seq = render_sequence(num_frames=T, height=240, width=320)
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        map=MapConfig(max_keyframes=16, max_map_points=8192),
+    )
+    cfg = cfg.replace(dense=dataclasses.replace(cfg.dense, enabled=True))
+    intr = Intrinsics.from_matrix(seq.K)
+
+    s = SLAM(cfg, seq.K, ba_mode="disabled", use_mask=False)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i])
+
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=8)
+    got = []
+    for i in range(T):
+        got += cs.feed(seq.rgb[i], seq.depth[i])
+    got += cs.flush()
+    assert len(got) == T
+    assert not cs._depth_ring, "depth ring must drain"
+
+    np.testing.assert_allclose(np.asarray(cs.tsdf.weight),
+                               np.asarray(s.tsdf.weight))
+    np.testing.assert_allclose(np.asarray(cs.tsdf.tsdf),
+                               np.asarray(s.tsdf.tsdf), atol=1e-6)
