@@ -200,6 +200,8 @@ def main(argv=None):
             traj = np.stack([T[:3, 3] for T in slam.frame_poses])
             viewer.update(traj, slam.keyframe_positions(), slam.map_points(),
                           rgb, depth, mask)
+            if args.dense and d["added_kf"]:
+                viewer.update_dense(slam.dense_surface()[0])
         if d["frame"] % 30 == 0:
             print(f"frame {d['frame']}: success={d['success']} "
                   f"kf={d['added_kf']} inliers={d['num_inliers']} "

@@ -172,3 +172,15 @@ class Viewer:
             rr.log("/camera/0/depth", rr.Image(depth_rgb))
         if mask is not None:
             rr.log("/camera/0/mask", rr.Image(mask))
+
+    def update_dense(self, surface_points: np.ndarray):
+        """Log the TSDF zero-crossing cloud (capability extension —
+        beyond the reference's Viewer.cpp schema; same (x,−z,−y)
+        display remap as the sparse streams). Call at the keyframe
+        cadence, not per frame — the cloud only changes on fusion."""
+        pts = _remap(np.asarray(surface_points, np.float64))
+        self.last["dense"] = pts
+        if not self.enabled:
+            return
+        rr.log("/world/dense",
+               rr.Points3D(pts, colors=[[200, 200, 200]], radii=0.03))

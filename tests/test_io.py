@@ -109,6 +109,9 @@ def test_viewer_noop_schema():
     v.update(traj, traj, traj)
     # display remap (x, -z, -y) — Map.cpp:86,96
     np.testing.assert_allclose(v.last["trajectory"], [[1.0, -3.0, -2.0]])
+    # dense TSDF cloud rides the same remap (/world/dense extension)
+    v.update_dense(traj)
+    np.testing.assert_allclose(v.last["dense"], [[1.0, -3.0, -2.0]])
 
 
 def test_cli_tum_source(tum_fixture, capsys):
