@@ -186,6 +186,16 @@ def main(argv=None):
         from kbslam.io.checkpoint import load_checkpoint
 
         slam.state, _ = load_checkpoint(args.resume, cfg)
+        if args.dense:
+            from kbslam.io.checkpoint import load_checkpoint_tsdf
+
+            tsdf = load_checkpoint_tsdf(args.resume, cfg)
+            if tsdf is not None:
+                slam.tsdf = tsdf
+            else:
+                print("warning: checkpoint has no TSDF volume — the "
+                      "dense map restarts empty and will only cover "
+                      "post-resume keyframes", file=sys.stderr)
     viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
 
     n = 0
@@ -253,7 +263,7 @@ def main(argv=None):
         from kbslam.io.checkpoint import save_checkpoint
 
         save_checkpoint(args.save_checkpoint, slam.state,
-                        trajectory=slam.frame_poses)
+                        trajectory=slam.frame_poses, tsdf=slam.tsdf)
     if args.save_trajectory:
         with open(args.save_trajectory, "w") as f:
             for i, T in enumerate(est):
@@ -289,6 +299,16 @@ def _run_chunked(args, cfg, K, frames, dist):
     cs = ChunkedStream(cfg, intr, state, chunk=args.chunk,
                        gray=args.gray, use_mask=args.mask,
                        ba_mode="async" if args.ba == "async" else "off")
+    if args.resume and args.dense:
+        from kbslam.io.checkpoint import load_checkpoint_tsdf
+
+        _tsdf = load_checkpoint_tsdf(args.resume, cfg)
+        if _tsdf is not None:
+            cs.tsdf = _tsdf
+        else:
+            print("warning: checkpoint has no TSDF volume — the dense "
+                  "map restarts empty and will only cover post-resume "
+                  "keyframes", file=sys.stderr)
     viewer = Viewer(spawn=True) if args.viewer == "rerun" else None
     view_every = args.viewer_every or args.chunk
     frame_buf = {}  # frame index -> (rgb, depth, mask) for viewer readout
@@ -302,6 +322,10 @@ def _run_chunked(args, cfg, K, frames, dist):
                 m = cs.state.map
                 viewer.update(np.stack(traj), map_keyframe_positions(m),
                               map_point_positions(m), rgb_v, dep_v, msk_v)
+            if viewer is not None and args.dense and r["added_kf"]:
+                from kbslam.mapping.dense import surface_points
+
+                viewer.update_dense(surface_points(cs.tsdf, cfg.dense)[0])
         for r in drained:
             frame_buf.pop(r["frame"], None)
 
@@ -338,7 +362,8 @@ def _run_chunked(args, cfg, K, frames, dist):
 
         # include the per-frame trajectory, matching the per-frame path's
         # checkpoint contents (load_checkpoint's trajectory slot)
-        save_checkpoint(args.save_checkpoint, cs.state, trajectory=list(est))
+        save_checkpoint(args.save_checkpoint, cs.state, trajectory=list(est),
+                        tsdf=cs.tsdf)
     summary = dict(
         frames=n,
         success=sum(r["success"] for r in results),

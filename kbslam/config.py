@@ -207,7 +207,7 @@ class DenseMapConfig:
 
     TPU-first formulation (mapping/dense.py): voxel-CENTRIC projective
     integration — every voxel center is transformed into the keyframe
-    camera (one [V,3]x[3,3] matmul), projected (dense arithmetic), and
+    camera (batched quat rotation), projected (dense arithmetic), and
     reads its depth by ONE nearest-neighbor gather from the [H,W] depth
     image (the single gather is the cost center, ~45 ns/element,
     CLAUDE.md gotcha #7 — bilinear would pay it 4x for sub-voxel gains

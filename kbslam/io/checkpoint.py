@@ -24,7 +24,12 @@ _FIELDS_TRACK = ["pose_q", "pose_t", "frames_since_kf", "frame_count"]
 
 
 def save_checkpoint(path: str, state: TrackState,
-                    trajectory: Optional[List[np.ndarray]] = None) -> None:
+                    trajectory: Optional[List[np.ndarray]] = None,
+                    tsdf=None) -> None:
+    """``tsdf``: optional mapping.dense.TSDFState — persisted so a
+    --dense run resumes with its volume instead of silently restarting
+    from empty (the sparse map would then cover keyframes the volume
+    does not)."""
     arrs = {}
     for name, val in state.map._asdict().items():
         arrs[f"map.{name}"] = np.asarray(val)
@@ -32,6 +37,9 @@ def save_checkpoint(path: str, state: TrackState,
         arrs[f"track.{name}"] = np.asarray(getattr(state, name))
     if trajectory is not None and len(trajectory):
         arrs["trajectory"] = np.stack(trajectory)
+    if tsdf is not None:
+        arrs["tsdf.tsdf"] = np.asarray(tsdf.tsdf)
+        arrs["tsdf.weight"] = np.asarray(tsdf.weight)
     tmp = path + ".tmp.npz"  # savez appends .npz unless present
     np.savez_compressed(tmp, **arrs)
     os.replace(tmp, path)  # atomic publish
@@ -54,3 +62,19 @@ def load_checkpoint(path: str, cfg: SLAMConfig
         traj = z["trajectory"] if "trajectory" in z.files else None
     state = TrackState(map=MapState(**map_kwargs), **track_kwargs)
     return state, traj
+
+
+def load_checkpoint_tsdf(path: str, cfg: SLAMConfig):
+    """Returns the persisted TSDFState, or None if the checkpoint
+    predates --dense / was written without it. Shape-checked against
+    cfg.dense.dims."""
+    from kbslam.mapping.dense import TSDFState
+
+    with np.load(path) as z:
+        if "tsdf.tsdf" not in z.files:
+            return None
+        t, w = z["tsdf.tsdf"], z["tsdf.weight"]
+    if t.shape != tuple(cfg.dense.dims):
+        raise ValueError(f"checkpoint TSDF dims {t.shape} != config "
+                         f"{tuple(cfg.dense.dims)}")
+    return TSDFState(tsdf=jnp.asarray(t), weight=jnp.asarray(w))

@@ -11,8 +11,8 @@ truncated signed distance volume, formulated the TPU way:
     active blocks is the GPU idiom; on TPU the dense grid IS the fast
     path — regular memory, fused elementwise updates).
   - Integration is voxel-centric: transform EVERY voxel center into the
-    keyframe camera (one [V,3]x[3,3] matmul on the MXU), project with
-    dense arithmetic, and read the depth image at the projected pixel
+    keyframe camera (one batched quaternion rotation on the VPU),
+    project with dense arithmetic, and read the depth image at the projected pixel
     with ONE nearest-neighbor gather per voxel — the gather is the cost
     center (~45 ns/element serially, CLAUDE.md gotcha #7), so the
     default grid keeps V ≈ 295k and bilinear sampling (4 gathers) is
@@ -24,9 +24,9 @@ truncated signed distance volume, formulated the TPU way:
 
 Integration runs per KEYFRAME insertion (the reference's world-model
 update cadence, VisualOdometry.cpp:155-165), not per frame: at the
-default policy rate (≥10 frames/KF) the measured ~11 ms/KF integrate
-amortizes to ~1 ms tracked frame, and keyframe depth is exactly what
-the sparse map already trusts.
+default policy rate (≥10 frames/KF) the measured 3.8 ms/KF fusion
+(TPU v5e, 295k voxels) amortizes to ~0.4 ms/frame, and keyframe depth
+is exactly what the sparse map already trusts.
 
 Surface extraction (host-side, not hot): voxels in the iso band with
 positive weight, refined along the TSDF gradient to the zero crossing.
@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kbslam.config import DenseMapConfig
-from kbslam.geom.camera import Intrinsics
+from kbslam.geom.camera import Intrinsics, distort_points
 from kbslam.geom.se3 import SE3
 
 
@@ -89,13 +89,35 @@ def integrate(state: TSDFState, depth_m: jnp.ndarray, pose: SE3,
     z = Xc[:, 2]
     u = intr.fx * Xc[:, 0] / jnp.where(z > 0, z, 1.0) + intr.cx
     v = intr.fy * Xc[:, 1] / jnp.where(z > 0, z, 1.0) + intr.cy
+    in_domain = jnp.bool_(True)
+    if intr.has_distortion:
+        # depth images live in DISTORTED pixel space (the tracking path
+        # samples depth at raw coords and undistorts keypoints after,
+        # pipeline.py) — the voxel's pinhole projection must be pushed
+        # through the forward model before the gather, or edge pixels
+        # read depth from the wrong surface. The Brown-Conrady
+        # polynomial is only valid near the calibrated FOV: at large
+        # normalized radius the radial terms FOLD far-outside points
+        # back into the image, gathering garbage depth — gate the model
+        # to 1.5x the image-corner radius (measured: ungated, a
+        # distorted plane fused 25k junk surface points at 85 mm median
+        # vs 3.8k at sub-mm gated).
+        xn = (u - intr.cx) / intr.fx
+        yn = (v - intr.cy) / intr.fy
+        r2_corner = ((W / 2.0) / intr.fx) ** 2 + ((H / 2.0) / intr.fy) ** 2
+        in_domain = (xn * xn + yn * yn) <= 2.25 * r2_corner
+        uv = distort_points(intr, jnp.stack([u, v], axis=-1))
+        u, v = uv[..., 0], uv[..., 1]
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
-    inside = (z > cfg.min_depth) & (ui >= 0) & (ui < W) \
+    inside = (z > cfg.min_depth) & in_domain & (ui >= 0) & (ui < W) \
         & (vi >= 0) & (vi < H)
 
     flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
     d = depth_m.reshape(-1)[flat]                            # ONE gather
+    # real sensors export NaN invalids: sanitize BEFORE arithmetic, or
+    # NaN*0 slips through the where and poisons accumulated voxels
+    d = jnp.nan_to_num(d, nan=0.0)
     depth_ok = (d > cfg.min_depth) & (d < cfg.max_depth)
 
     sdf = d - z
@@ -121,32 +143,52 @@ def make_integrate(cfg: DenseMapConfig, intr: Intrinsics,
     async-BA lesson). Call as f(state, depth_raw, pose_q, pose_t);
     ``depth_scale`` converts the raw image to metres in-graph (1.0 for
     already-metric input, MapConfig.depth_scale for u16 sensor depth)."""
-    return jax.jit(lambda s, d, q, t: integrate(
-        s, d.astype(jnp.float32) * depth_scale, SE3(q, t), intr, cfg))
+
+    def fuse(s, d, q, t):
+        # house rule for new geometric jit entry points (CLAUDE.md):
+        # explicit HIGHEST wrap. Benign today — the camera transform is
+        # a quat rotation on the VPU, not a matmul — but it pins the
+        # behavior if apply() ever becomes the matmul form.
+        with jax.default_matmul_precision("highest"):
+            return integrate(s, d.astype(jnp.float32) * depth_scale,
+                             SE3(q, t), intr, cfg)
+
+    return jax.jit(fuse)
 
 
-def integrate_sequence(depths_m, poses, intr: Intrinsics,
-                       cfg: DenseMapConfig,
-                       state: TSDFState | None = None) -> TSDFState:
-    """Offline helper: fuse a whole sequence ([T,H,W] metric depth +
-    [T] SE3 or [T,4,4] matrices) in one lax.scan dispatch. Use after
-    loop closure / global BA with the corrected poses."""
-    if state is None:
-        state = empty_tsdf(cfg)
-    poses = np.asarray(poses, np.float32)
-    if poses.ndim == 3:  # [T,4,4] -> quat+t
-        qs = np.stack([_rot_to_quat(p[:3, :3]) for p in poses])
-        ts = poses[:, :3, 3]
-    else:
-        raise ValueError("poses must be [T,4,4]")
-
-    @jax.jit
+@functools.lru_cache(maxsize=8)
+def _make_integrate_scan(cfg: DenseMapConfig, intr: Intrinsics):
     def run(s, depths, qs, ts):
         def body(s, xs):
             d, q, t = xs
             return integrate(s, d, SE3(q, t), intr, cfg), None
         return jax.lax.scan(body, s, (depths, qs, ts))[0]
 
+    return jax.jit(run)
+
+
+def integrate_sequence(depths_m, poses, intr: Intrinsics,
+                       cfg: DenseMapConfig,
+                       state: TSDFState | None = None) -> TSDFState:
+    """Offline helper: fuse a whole sequence in one lax.scan dispatch —
+    [T,H,W] METRIC depth plus poses as either [T,4,4] matrices or one
+    batched SE3 (q [T,4], t [T,3]). Use after loop closure / global BA
+    with the corrected poses (the online volume is deliberately not
+    re-warped by pose-graph corrections)."""
+    if state is None:
+        state = empty_tsdf(cfg)
+    if isinstance(poses, SE3):
+        qs, ts = np.asarray(poses.q, np.float32), np.asarray(poses.t,
+                                                             np.float32)
+    else:
+        poses = np.asarray(poses, np.float32)
+        if poses.ndim != 3 or poses.shape[1:] != (4, 4):
+            raise ValueError("poses must be [T,4,4] matrices or a "
+                             "batched SE3")
+        qs = np.stack([_rot_to_quat(p[:3, :3]) for p in poses])
+        ts = poses[:, :3, 3]
+
+    run = _make_integrate_scan(cfg, intr)
     return run(state, jnp.asarray(depths_m), jnp.asarray(qs),
                jnp.asarray(ts))
 

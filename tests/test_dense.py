@@ -179,3 +179,89 @@ def test_chunked_dense_matches_per_frame_path():
                                np.asarray(s.tsdf.weight))
     np.testing.assert_allclose(np.asarray(cs.tsdf.tsdf),
                                np.asarray(s.tsdf.tsdf), atol=1e-6)
+
+
+def test_dense_checkpoint_roundtrip(tmp_path):
+    """--save-checkpoint persists the TSDF volume and --resume restores
+    it (without this, a resumed dense run silently restarts the volume
+    empty while the sparse map covers pre-resume keyframes)."""
+    import json
+    import sys
+    from io import StringIO
+
+    from kbslam.cli import main
+
+    ckpt = tmp_path / "c.npz"
+
+    def run(argv):
+        cap = StringIO()
+        old = sys.stdout
+        sys.stdout = cap
+        try:
+            main(argv)
+        finally:
+            sys.stdout = old
+        return json.loads(cap.getvalue().strip().splitlines()[-1])
+
+    base = ["--source", "synthetic", "--frames", "16",
+            "--width", "160", "--height", "120", "--ba", "off", "--dense"]
+    s1 = run(base + ["--save-checkpoint", str(ckpt)])
+    assert s1["tsdf_observed_voxels"] > 0
+
+    # resuming the same scene must START from the saved volume: with
+    # zero new keyframes processed... frames still insert; instead
+    # verify the loaded volume is present via the direct API
+    from kbslam.config import DEFAULT_CONFIG
+    from kbslam.io.checkpoint import load_checkpoint_tsdf
+    import dataclasses
+
+    cfg = DEFAULT_CONFIG.replace(image_height=120, image_width=160)
+    cfg = cfg.replace(dense=dataclasses.replace(cfg.dense, enabled=True))
+    tsdf = load_checkpoint_tsdf(str(ckpt), cfg)
+    assert tsdf is not None
+    assert int((np.asarray(tsdf.weight) > 0).sum()) \
+        == s1["tsdf_observed_voxels"]
+
+    # and the CLI resume path reports at least as many observed voxels
+    s2 = run(base + ["--resume", str(ckpt)])
+    assert s2["tsdf_observed_voxels"] >= s1["tsdf_observed_voxels"]
+
+
+def test_tsdf_distorted_camera():
+    """Depth images live in distorted pixel space (the tracking path
+    samples depth at raw coords, pipeline.py), so voxel projection must
+    push through the forward Brown-Conrady model — gated to its valid
+    radius: ungated, far-outside voxels FOLD back into the image and
+    fuse garbage (measured 25k junk points at 85 mm median). Gates: the
+    modeled fusion must beat the coefficient-ignoring one at the edges
+    (p90) and stay sub-voxel overall."""
+    from scipy.ndimage import map_coordinates
+
+    from kbslam.geom.camera import undistort_points
+
+    dist = (0.22, -0.4, 0.0, 0.0, 0.0)  # TUM-fr1-strength radial
+    T = 10
+    seq = render_sequence(num_frames=T, height=240, width=320)
+    intr_d = Intrinsics.from_matrix(seq.K, dist=dist)
+    intr_0 = Intrinsics.from_matrix(seq.K)
+    h, w = 240, 320
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    src = np.asarray(undistort_points(intr_d, grid))
+    coords = np.stack([src[:, 1].reshape(h, w), src[:, 0].reshape(h, w)])
+    dep_d = np.stack([map_coordinates(f.astype(np.float32), coords,
+                                      order=0, mode="nearest")
+                      for f in seq.depth])
+    cfg = DenseMapConfig(origin=(-4.08, -4.08, -1.36))
+
+    def err_of(intr):
+        st = integrate_sequence(dep_d * 0.001, seq.poses, intr, cfg)
+        pts, _ = surface_points(st, cfg)
+        return pts, np.abs(pts[:, 2])
+
+    pts_d, err_d = err_of(intr_d)
+    pts_0, err_0 = err_of(intr_0)
+    # no fold-back junk: point count comparable to the rectified run
+    assert len(pts_d) < 1.2 * len(pts_0), (len(pts_d), len(pts_0))
+    assert np.median(err_d) < 0.005
+    assert np.percentile(err_d, 90) < np.percentile(err_0, 90)
