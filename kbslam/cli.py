@@ -210,8 +210,11 @@ def main(argv=None):
             traj = np.stack([T[:3, 3] for T in slam.frame_poses])
             viewer.update(traj, slam.keyframe_positions(), slam.map_points(),
                           rgb, depth, mask)
-            if args.dense and d["added_kf"]:
-                viewer.update_dense(slam.dense_surface()[0])
+        # dense cloud updates ride the KEYFRAME cadence, not the
+        # --viewer-every phase: insertions rarely align with the
+        # decimation grid and the cloud only changes on fusion
+        if viewer is not None and args.dense and d["added_kf"]:
+            viewer.update_dense(slam.dense_surface()[0])
         if d["frame"] % 30 == 0:
             print(f"frame {d['frame']}: success={d['success']} "
                   f"kf={d['added_kf']} inliers={d['num_inliers']} "
