@@ -233,13 +233,6 @@ class SLAM:
         if self._cull is not None and bool(o.added_kf):
             self.state = self.state._replace(map=self._cull(self.state.map))
 
-        # dense TSDF fusion at the keyframe cadence (mapping/dense.py;
-        # capability extension — the reference has no dense world model)
-        if self._integrate is not None and bool(o.added_kf):
-            self.tsdf = self._integrate(self.tsdf, args[2],
-                                        jnp.asarray(o.pose_q),
-                                        jnp.asarray(o.pose_t))
-
         ran_ba = False
         if self.ba_mode == "on_keyframe" and bool(o.added_kf):
             tb = time.perf_counter()
@@ -257,6 +250,16 @@ class SLAM:
 
         if self._reloc is not None:
             o = self._reloc_tick(o, args[1:])
+
+        # dense TSDF fusion at the keyframe cadence (mapping/dense.py;
+        # capability extension — the reference has no dense world model).
+        # AFTER the reloc tick: a relocalization-inserted keyframe sets
+        # added_kf with the recovered pose, and its depth belongs in the
+        # volume like any other insertion.
+        if self._integrate is not None and bool(o.added_kf):
+            self.tsdf = self._integrate(self.tsdf, args[2],
+                                        jnp.asarray(o.pose_q),
+                                        jnp.asarray(o.pose_t))
 
         if self._loop is not None:
             if bool(o.added_kf):
