@@ -15,6 +15,21 @@ measures that path end-to-end on a drifting multi-lap plane run:
 Surface error is analytic (the plane is exactly z=0 in the GT world;
 points map there through GT frame 0 — CLAUDE.md gauge gotcha #12).
 
+Measured (3 seeds, drifting 3-lap plane, 5 mm depth noise): MIXED —
+re-integration mirrors FINAL-ring pose quality. seed0: 36.4/144.7 mm
+(median/p90) online -> 16.8/45.3 re-integrated (2-3x better). seeds
+1-2: online beats re-integrated (19.0 vs 102.0; 14.5 vs 49.0) because
+on this repetitive COPLANAR scene the final ring converges to the loop
+measurements' residual bias (~160 mm kf ATE; loop_weight 1/4/16 flat —
+it is the measurements, not the weighting), while ONLINE poses benefit
+from each closure the moment it fires (drift resets per lap: online
+ATE 107.7 vs 261 loop-off). The spheres scene (exp_loop_ate) has no
+such bias: closures there cut keyframe ATE 14-66%. Conclusion: offline
+re-integration is the right tool exactly when the final ring is good —
+check keyframe ATE (or pose-graph residuals) before trusting it on
+low-structure coplanar scenes. The planar weakness family is known:
+see BAConfig.depth_residuals for the BA-side analogue.
+
 CPU run: python benchmarks/exp_dense_reint.py
 """
 import json
