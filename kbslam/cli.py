@@ -15,6 +15,18 @@ import sys
 import numpy as np
 
 
+def _export_mesh(tsdf, dense_cfg, path, summary):
+    """--save-mesh: extract the welded isosurface mesh and write binary
+    PLY with vertex normals (mapping/mesh.py)."""
+    from kbslam.mapping.mesh import (
+        marching_tetrahedra, save_ply, vertex_normals)
+
+    mesh = marching_tetrahedra(tsdf, dense_cfg)
+    save_ply(path, mesh, vertex_normals(mesh))
+    summary["mesh_vertices"] = len(mesh.vertices)
+    summary["mesh_faces"] = len(mesh.faces)
+
+
 def main(argv=None):
     # persistent XLA compile cache: every CLI invocation is a fresh
     # process, and first compiles through the tunneled TPU runtime cost
@@ -68,6 +80,10 @@ def main(argv=None):
     ap.add_argument("--save-surface", default=None, metavar="PATH.npy",
                     help="write the TSDF zero-crossing point cloud "
                     "(requires --dense)")
+    ap.add_argument("--save-mesh", default=None, metavar="PATH.ply",
+                    help="write the TSDF isosurface as a welded triangle "
+                    "mesh with vertex normals, binary PLY (requires "
+                    "--dense)")
     ap.add_argument("--dist", default=None,
                     help="comma-separated k1,k2,p1,p2,k3 lens distortion "
                     "(reference DistCoeffs; zmq handshake value used if unset)")
@@ -169,11 +185,11 @@ def main(argv=None):
                      "--loop works chunked: probes run chunk-late.")
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, enabled=bool(args.loop), reloc_after=args.reloc))
-    if args.dense or args.save_surface:
+    if args.dense or args.save_surface or args.save_mesh:
         import dataclasses
 
         if not args.dense:
-            ap.error("--save-surface requires --dense")
+            ap.error("--save-surface/--save-mesh require --dense")
         cfg = cfg.replace(dense=dataclasses.replace(cfg.dense,
                                                     enabled=True))
     if args.chunk:
@@ -248,6 +264,8 @@ def main(argv=None):
         summary["tsdf_surface_points"] = len(pts)
         if args.save_surface:
             np.save(args.save_surface, pts)
+        if args.save_mesh:
+            _export_mesh(slam.tsdf, cfg.dense, args.save_mesh, summary)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 
@@ -387,6 +405,8 @@ def _run_chunked(args, cfg, K, frames, dist):
         summary["tsdf_surface_points"] = len(pts)
         if args.save_surface:
             np.save(args.save_surface, pts)
+        if args.save_mesh:
+            _export_mesh(cs.tsdf, cfg.dense, args.save_mesh, summary)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

@@ -396,6 +396,17 @@ class SLAM:
 
         return surface_points(self.tsdf, self.config.dense)
 
+    def dense_mesh(self):
+        """TSDF zero-isosurface as a welded TriangleMesh (requires
+        ``config.dense.enabled``; offline/host-side like dense_surface).
+        See mapping/mesh.py marching_tetrahedra."""
+        if self.tsdf is None:
+            raise RuntimeError("dense mapping disabled "
+                               "(SLAMConfig.dense.enabled)")
+        from kbslam.mapping.mesh import marching_tetrahedra
+
+        return marching_tetrahedra(self.tsdf, self.config.dense)
+
     def map_points(self) -> np.ndarray:
         return map_point_positions(self.state.map)
 

@@ -1,0 +1,118 @@
+"""TSDF raycasting (mapping/raycast.py): rendered depth must match
+analytic ray–surface intersections on synthetic volumes, and the
+render-consistency metric must certify the fused plane volume.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from kbslam.config import DenseMapConfig
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import SE3
+from kbslam.mapping.dense import TSDFState
+from kbslam.mapping.raycast import make_raycast, render_consistency
+
+
+def _sphere_state(cfg, center, radius):
+    nx, ny, nz = cfg.dims
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
+                             np.arange(nz), indexing="ij")
+    X = np.asarray(cfg.origin) \
+        + (np.stack([ii, jj, kk], -1) + 0.5) * cfg.voxel_size
+    d = np.linalg.norm(X - np.asarray(center), axis=-1)
+    t = np.clip((d - radius) / cfg.truncation, -1.0, 1.0)
+    return TSDFState(tsdf=jnp.asarray(t, jnp.float32),
+                     weight=jnp.ones((nx, ny, nz), jnp.float32))
+
+
+def test_raycast_sphere_analytic_depth_and_normals():
+    cfg = DenseMapConfig(dims=(48, 48, 48), voxel_size=0.05,
+                         origin=(-1.2, -1.2, -1.2), truncation=0.15)
+    R = 0.8
+    st = _sphere_state(cfg, (0, 0, 0), R)
+    H, W = 120, 160
+    # wide FOV so corner rays genuinely MISS the sphere (angular radius
+    # asin(0.8/2) ≈ 23.6°; fx=100 puts the half-FOV at 38.7°)
+    intr = Intrinsics.create(fx=100.0, fy=100.0, cx=79.5, cy=59.5)
+    pose = SE3(jnp.array([1.0, 0, 0, 0], jnp.float32),
+               jnp.array([0.0, 0.0, -2.0], jnp.float32))
+    f = make_raycast(cfg, intr, H, W, t_max=4.0)
+    r = f(st, pose.q, pose.t)
+    depth = np.asarray(r.depth)
+    hit = np.asarray(r.hit)
+    normal = np.asarray(r.normal)
+
+    # analytic front intersection: o + z*(xn, yn, 1) on |p| = R
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    xn = (gx - intr.cx) / intr.fx
+    yn = (gy - intr.cy) / intr.fy
+    a = xn**2 + yn**2 + 1.0
+    o = np.array([0.0, 0.0, -2.0])
+    b = 2.0 * (xn * o[0] + yn * o[1] + o[2])
+    c = (o * o).sum() - R * R
+    disc = b * b - 4 * a * c
+    gt_hit = disc > 0
+    z_gt = np.where(gt_hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a),
+                    0.0)
+
+    # hit mask agrees away from the silhouette: nearest-neighbor
+    # sampling makes the rim half-voxel fuzzy by construction, so the
+    # no-hit gate applies to rays whose closest approach to the sphere
+    # stays > 1.5 voxels clear
+    interior = gt_hit & (disc > 0.05)
+    assert hit[interior].mean() > 0.99
+    dmin = np.sqrt(np.maximum(4 * a * c - b * b, 0) / (4 * a))
+    clear_miss = ~gt_hit & (dmin > R + 1.5 * cfg.voxel_size)
+    assert hit[clear_miss].mean() < 0.01
+
+    err = np.abs(depth - z_gt)[interior & hit]
+    assert np.median(err) < 0.5 * cfg.voxel_size, np.median(err)
+    assert np.percentile(err, 90) < cfg.voxel_size
+
+    # normals: outward radial at the hit point
+    p = o + z_gt[..., None] * np.stack([xn, yn, np.ones_like(xn)], -1)
+    rad = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    dots = (normal * rad).sum(-1)[interior & hit]
+    assert np.median(dots) > 0.98, np.median(dots)
+
+
+def test_raycast_miss_semantics():
+    cfg = DenseMapConfig(dims=(16, 16, 16), voxel_size=0.1,
+                         origin=(-0.8, -0.8, 0.5), truncation=0.3)
+    st = _sphere_state(cfg, (0, 0, 1.3), 0.3)
+    intr = Intrinsics.create(fx=100.0, fy=100.0, cx=39.5, cy=29.5)
+    # camera looking AWAY from the volume (+z volume, camera points +z
+    # from far beyond it)
+    pose = SE3(jnp.array([1.0, 0, 0, 0], jnp.float32),
+               jnp.array([0.0, 0.0, 5.0], jnp.float32))
+    f = make_raycast(cfg, intr, 60, 80, t_max=3.0)
+    r = f(st, pose.q, pose.t)
+    assert not bool(np.asarray(r.hit).any())
+    assert np.all(np.asarray(r.depth) == 0.0)
+    assert np.all(np.asarray(r.normal) == 0.0)
+
+
+def test_render_consistency_on_fused_plane():
+    """Fuse the synthetic plane with GT poses, then render from a GT
+    pose: the volume must explain the observed depth to sub-voxel
+    median."""
+    from kbslam.io.synthetic import render_sequence
+    from kbslam.mapping.dense import integrate_sequence
+
+    seq = render_sequence(num_frames=10, height=240, width=320)
+    intr = Intrinsics.from_matrix(seq.K)
+    cfg = DenseMapConfig(origin=(-4.08, -4.08, -1.36))
+    st = integrate_sequence(seq.depth.astype(np.float32) * 0.001,
+                            seq.poses, intr, cfg)
+
+    T0 = seq.poses[5]
+    from kbslam.geom.se3 import matrix_to_quat
+
+    pose = SE3(jnp.asarray(matrix_to_quat(jnp.asarray(T0[:3, :3])),
+                           jnp.float32),
+               jnp.asarray(T0[:3, 3], jnp.float32))
+    m = render_consistency(st, pose, seq.depth[5].astype(np.float32)
+                           * 0.001, intr, cfg)
+    assert m["coverage"] > 0.5, m
+    assert m["median_err_m"] < cfg.voxel_size, m
+    assert m["p90_err_m"] < 3 * cfg.voxel_size, m
