@@ -6,7 +6,11 @@ output (sums), and barrier with np.asarray; best-of-N over repeats.
 
 Run: python benchmarks/exp_raycast.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

@@ -15,14 +15,19 @@ import sys
 import numpy as np
 
 
-def _export_mesh(tsdf, dense_cfg, path, summary):
+def _export_mesh(tsdf, dense_cfg, path, summary, viewer=None):
     """--save-mesh: extract the welded isosurface mesh and write binary
-    PLY with vertex normals (mapping/mesh.py)."""
+    PLY with vertex normals (mapping/mesh.py); with a live viewer, log
+    it once under /world/dense/mesh (meshing is host-side — end-of-run
+    only, not the keyframe cadence)."""
     from kbslam.mapping.mesh import (
         marching_tetrahedra, save_ply, vertex_normals)
 
     mesh = marching_tetrahedra(tsdf, dense_cfg)
-    save_ply(path, mesh, vertex_normals(mesh))
+    normals = vertex_normals(mesh)
+    save_ply(path, mesh, normals)
+    if viewer is not None:
+        viewer.update_dense_mesh(mesh, normals)
     summary["mesh_vertices"] = len(mesh.vertices)
     summary["mesh_faces"] = len(mesh.faces)
 
@@ -265,7 +270,8 @@ def main(argv=None):
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            _export_mesh(slam.tsdf, cfg.dense, args.save_mesh, summary)
+            _export_mesh(slam.tsdf, cfg.dense, args.save_mesh, summary,
+                         viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 
@@ -406,7 +412,8 @@ def _run_chunked(args, cfg, K, frames, dist):
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            _export_mesh(cs.tsdf, cfg.dense, args.save_mesh, summary)
+            _export_mesh(cs.tsdf, cfg.dense, args.save_mesh, summary,
+                         viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

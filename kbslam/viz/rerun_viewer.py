@@ -184,3 +184,22 @@ class Viewer:
             return
         rr.log("/world/dense",
                rr.Points3D(pts, colors=[[200, 200, 200]], radii=0.03))
+
+    def update_dense_mesh(self, mesh, normals: np.ndarray | None = None):
+        """Log the extracted TSDF isosurface (mapping/mesh.py
+        TriangleMesh) under /world/dense/mesh. The (x,−z,−y) display
+        remap has determinant −1, so faces are rewound (indices 1↔2)
+        to keep normals outward; vertex normals get the same remap.
+        Meshing is host-side and not cheap — call on demand (end of
+        run / checkpoint), not at the keyframe cadence."""
+        verts = _remap(np.asarray(mesh.vertices, np.float64))
+        faces = np.asarray(mesh.faces)[:, [0, 2, 1]]
+        self.last["dense_mesh"] = (verts, faces)
+        if not self.enabled:
+            return
+        kw = {}
+        if normals is not None:
+            kw["vertex_normals"] = _remap(np.asarray(normals, np.float64))
+        rr.log("/world/dense/mesh",
+               rr.Mesh3D(vertex_positions=verts,
+                         triangle_indices=faces, **kw))

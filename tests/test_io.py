@@ -112,6 +112,25 @@ def test_viewer_noop_schema():
     # dense TSDF cloud rides the same remap (/world/dense extension)
     v.update_dense(traj)
     np.testing.assert_allclose(v.last["dense"], [[1.0, -3.0, -2.0]])
+    # mesh entity: remapped vertices + rewound faces (the det=-1 remap
+    # flips orientation; index swap 1<->2 restores outward normals)
+    from kbslam.mapping.mesh import TriangleMesh
+
+    mesh = TriangleMesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32))
+    v.update_dense_mesh(mesh)
+    mv, mf = v.last["dense_mesh"]
+    np.testing.assert_allclose(mv, [[0, 0, 0], [1, 0, 0], [0, 0, -1]])
+    np.testing.assert_array_equal(mf, [[0, 2, 1]])
+    # winding preserved through the remap: normal direction maps with
+    # the same (x,-z,-y) transform
+    n_orig = np.cross(mesh.vertices[1] - mesh.vertices[0],
+                      mesh.vertices[2] - mesh.vertices[0])
+    n_disp = np.cross(mv[mf[0, 1]] - mv[mf[0, 0]],
+                      mv[mf[0, 2]] - mv[mf[0, 0]])
+    np.testing.assert_allclose(
+        n_disp, [n_orig[0], -n_orig[2], -n_orig[1]])
 
 
 def test_cli_tum_source(tum_fixture, capsys):
