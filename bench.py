@@ -439,6 +439,54 @@ def main():
     except Exception as e:  # must not kill the headline
         tsdf_ms = repr(e)
 
+    # --- frame-to-model dense ICP cost (--dense-icp rescue/refine) --------
+    # One solve per PnP-failure frame (rescue) — icp.iters GN trips of
+    # ONE [P,8] trilinear gather + a HIGHEST 6x6 normal-equation build.
+    # N solves per scan dispatch with VARYING initial poses (gotcha #3).
+    icp_ms = None
+    try:
+        from kbslam.config import DenseIcpConfig
+        from kbslam.mapping.dense import integrate_sequence
+        from kbslam.mapping.icp import align_depth_to_tsdf
+
+        icfg = DenseIcpConfig()
+        dcfg2 = cfg.dense
+        depth_icp = jnp.asarray(
+            np.asarray(seq.depth[:4], np.float32) * cfg.map.depth_scale)
+        st_icp = integrate_sequence(
+            np.asarray(depth_icp),
+            np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)), intr, dcfg2)
+        N_ICP = 32
+
+        def icp_scan(st, depths, ks):
+            def body(c, k):
+                q0 = jnp.where(jnp.arange(4) == 0, 1.0,
+                               1e-3 * jnp.cos(k.astype(jnp.float32)))
+                t0 = 1e-2 * jnp.sin(k.astype(jnp.float32)) * jnp.ones(3)
+                with jax.default_matmul_precision("highest"):
+                    r = align_depth_to_tsdf(st, depths[k % 4], q0, t0,
+                                            intr, dcfg2, icfg)
+                return c + (jnp.sum(r.q) + jnp.sum(r.t) + r.rmse
+                            + r.rmse_init
+                            + r.num_valid.astype(jnp.float32)), None
+            return jax.lax.scan(body, jnp.float32(0.0), ks)[0]
+
+        icp_j = jax.jit(icp_scan)
+        ks = jnp.arange(N_ICP, dtype=jnp.int32)
+        _log("compiling dense-ICP scan")
+        np.asarray(icp_j(st_icp, depth_icp, ks))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out_i = icp_j(st_icp, depth_icp, ks)
+            np.asarray(out_i)
+            best = min(best, (time.perf_counter() - t0) / N_ICP * 1e3)
+        icp_ms = round(best, 3)
+        _log(f"dense ICP: {icp_ms} ms/solve (stride {icfg.stride}, "
+             f"{icfg.iters} GN iters)")
+    except Exception as e:  # must not kill the headline
+        icp_ms = repr(e)
+
     # --- global-BA stress (BASELINE config 5), driver-captured ------------
     _log("global BA stress (200 KF / 50k landmarks, single chip)")
     import subprocess
@@ -484,6 +532,7 @@ def main():
             "local_ba_ms_resolve_converged": round(ba_ms, 2),
             "loop_probe_ms_per_kf_insertion": loop_probe_ms,
             "tsdf_fuse_ms_per_kf_insertion": tsdf_ms,
+            "dense_icp_ms_per_solve": icp_ms,
             "global_ba_stress_s": ga_line.get("value"),
             "global_ba_stress": ga_line.get("extra"),
             "target_fps_north_star": 500,

@@ -15,15 +15,13 @@ import sys
 import numpy as np
 
 
-def _export_mesh(tsdf, dense_cfg, path, summary, viewer=None):
-    """--save-mesh: extract the welded isosurface mesh and write binary
-    PLY with vertex normals (mapping/mesh.py); with a live viewer, log
-    it once under /world/dense/mesh (meshing is host-side — end-of-run
-    only, not the keyframe cadence)."""
-    from kbslam.mapping.mesh import (
-        marching_tetrahedra, save_ply, vertex_normals)
+def _export_mesh(mesh, path, summary, viewer=None):
+    """--save-mesh: write the isosurface mesh as binary PLY with vertex
+    normals (mapping/mesh.py); with a live viewer, log it once under
+    /world/dense/mesh (meshing is host-side — end-of-run only, not the
+    keyframe cadence)."""
+    from kbslam.mapping.mesh import save_ply, vertex_normals
 
-    mesh = marching_tetrahedra(tsdf, dense_cfg)
     normals = vertex_normals(mesh)
     save_ply(path, mesh, normals)
     if viewer is not None:
@@ -89,6 +87,18 @@ def main(argv=None):
                     help="write the TSDF isosurface as a welded triangle "
                     "mesh with vertex normals, binary PLY (requires "
                     "--dense)")
+    ap.add_argument("--dense-submaps", type=int, default=0, metavar="K",
+                    help="dense submapping: open a new TSDF submap every "
+                    "K keyframe insertions, each anchored to its keyframe "
+                    "— the dense model then FOLLOWS BA/loop-closure pose "
+                    "corrections at extraction time (requires --dense; "
+                    "0 = one monolithic world-frame volume)")
+    ap.add_argument("--dense-icp", choices=["off", "rescue", "refine"],
+                    default="off",
+                    help="frame-to-model dense tracking against the TSDF "
+                    "(requires --dense, per-frame path only): 'rescue' "
+                    "re-acquires the pose from geometry when PnP fails; "
+                    "'refine' additionally polishes successful poses")
     ap.add_argument("--dist", default=None,
                     help="comma-separated k1,k2,p1,p2,k3 lens distortion "
                     "(reference DistCoeffs; zmq handshake value used if unset)")
@@ -197,6 +207,29 @@ def main(argv=None):
             ap.error("--save-surface/--save-mesh require --dense")
         cfg = cfg.replace(dense=dataclasses.replace(cfg.dense,
                                                     enabled=True))
+    if args.dense_submaps:
+        import dataclasses
+
+        if not args.dense:
+            ap.error("--dense-submaps requires --dense")
+        if args.chunk:
+            ap.error("--dense-submaps runs on the per-frame path only "
+                     "(the chunked executor fuses the monolithic volume "
+                     "chunk-late)")
+        cfg = cfg.replace(dense=dataclasses.replace(
+            cfg.dense, submap_every=args.dense_submaps))
+    if args.dense_icp != "off":
+        import dataclasses
+
+        if not args.dense:
+            ap.error("--dense-icp requires --dense (the TSDF volume is "
+                     "the model)")
+        if args.chunk:
+            ap.error("--dense-icp runs on the per-frame path only "
+                     "(rescue must intervene on the frame that failed; "
+                     "chunked tracking has already committed the chunk)")
+        cfg = cfg.replace(dense_icp=dataclasses.replace(
+            cfg.dense_icp, mode=args.dense_icp))
     if args.chunk:
         _run_chunked(args, cfg, K, frames, dist)
         return
@@ -207,7 +240,7 @@ def main(argv=None):
         from kbslam.io.checkpoint import load_checkpoint
 
         slam.state, _ = load_checkpoint(args.resume, cfg)
-        if args.dense:
+        if args.dense and not args.dense_submaps:
             from kbslam.io.checkpoint import load_checkpoint_tsdf
 
             tsdf = load_checkpoint_tsdf(args.resume, cfg)
@@ -262,15 +295,25 @@ def main(argv=None):
         summary["loop_closures"] = len(slam.loop_events)
     if args.reloc:
         summary["relocalizations"] = len(slam.reloc_events)
+    if args.dense_icp != "off":
+        ev = slam.icp_events
+        summary["icp_rescues"] = sum(
+            1 for e in ev if e["mode"] == "rescue" and e["accepted"])
+        summary["icp_refines"] = sum(
+            1 for e in ev if e["mode"] == "refine" and e["accepted"])
     if args.dense:
         pts, res = slam.dense_surface()
+        vol = slam.tsdf if slam.tsdf is not None else slam.atlas
         summary["tsdf_observed_voxels"] = int(
-            (np.asarray(slam.tsdf.weight) > 0).sum())
+            (np.asarray(vol.weight) > 0).sum())
         summary["tsdf_surface_points"] = len(pts)
+        if slam.atlas is not None:
+            summary["tsdf_submaps"] = int(min(int(slam.atlas.count),
+                                              slam.atlas.capacity))
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            _export_mesh(slam.tsdf, cfg.dense, args.save_mesh, summary,
+            _export_mesh(slam.dense_mesh(), args.save_mesh, summary,
                          viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
@@ -412,8 +455,10 @@ def _run_chunked(args, cfg, K, frames, dist):
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            _export_mesh(cs.tsdf, cfg.dense, args.save_mesh, summary,
-                         viewer)
+            from kbslam.mapping.mesh import marching_tetrahedra
+
+            _export_mesh(marching_tetrahedra(cs.tsdf, cfg.dense),
+                         args.save_mesh, summary, viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

@@ -234,6 +234,45 @@ class DenseMapConfig:
     iso_band: float = 0.5
     min_depth: float = 0.05           # reject degenerate returns
     max_depth: float = 20.0
+    # submapping (mapping/submap.py): 0 = one monolithic world-frame
+    # volume (above); K > 0 = open a new submap every K keyframe
+    # insertions, each a [dims] volume ANCHORED to its keyframe's
+    # camera frame (``origin`` is then interpreted in that local frame
+    # — the same in-front-of-the-camera box). Anchored submaps follow
+    # BA and loop-closure pose corrections at extraction time; the
+    # monolithic volume deliberately does not (dense.py limitations).
+    submap_every: int = 0
+    max_submaps: int = 16             # submap ring capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseIcpConfig:
+    """Frame-to-model dense tracking against the TSDF (mapping/icp.py).
+
+    Capability extension: the reference tracks frame-to-keyframe only
+    (ORB + BFMatcher + solvePnPRansac, VisualOdometry.cpp:35-97) and
+    simply loses tracking when feature matching starves (SURVEY §5.3).
+    Direct SDF alignment needs no texture — geometry alone re-acquires
+    or polishes the pose. Requires ``dense.enabled`` (the volume is the
+    model). Modes:
+
+      - "off": reference parity (default);
+      - "rescue": on PnP failure, align the depth frame to the volume
+        from the last emitted pose; accept on the gates below;
+      - "refine": additionally polish every successful PnP pose,
+        accepted only when the SDF RMSE strictly improves.
+
+    Kept separate from DenseMapConfig so ICP knob changes don't change
+    the fusion jit cache key (make_integrate takes the map config)."""
+
+    mode: str = "off"            # "off" | "rescue" | "refine"
+    stride: int = 4              # pixel subsampling (P = H*W/stride^2)
+    iters: int = 8               # fixed Gauss-Newton trips
+    huber_m: float = 0.08        # robust scale on the SDF residual (m)
+    damping: float = 1e-4        # Levenberg diagonal damping (x tr(H)/6)
+    # host-side acceptance gates on the returned stats
+    min_points: int = 300        # live trilinear samples required
+    accept_rmse_m: float = 0.08  # post-solve robust SDF RMSE ceiling
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +327,8 @@ class SLAMConfig:
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
     loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
     dense: DenseMapConfig = dataclasses.field(default_factory=DenseMapConfig)
+    dense_icp: DenseIcpConfig = dataclasses.field(
+        default_factory=DenseIcpConfig)
 
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)

@@ -167,15 +167,47 @@ class SLAM:
             self._loop = LoopCloser(config, self.intr)
         else:
             self._loop = None
+        self.tsdf = None
+        self._integrate = None
+        self.atlas = None
+        self._submap_start = self._submap_fuse = None
+        self._kf_insertions = 0
         if config.dense.enabled:
-            from kbslam.mapping.dense import empty_tsdf, make_integrate
+            if config.dense.submap_every > 0:
+                from kbslam.mapping.submap import (empty_atlas,
+                                                   make_submap_ops)
 
-            self.tsdf = empty_tsdf(config.dense)
-            self._integrate = make_integrate(config.dense, self.intr,
-                                             config.map.depth_scale)
+                self.atlas = empty_atlas(config.dense,
+                                         config.dense.max_submaps)
+                self._submap_start, self._submap_fuse = make_submap_ops(
+                    config.dense, self.intr, config.dense.max_submaps,
+                    config.map.depth_scale)
+            else:
+                from kbslam.mapping.dense import empty_tsdf, make_integrate
+
+                self.tsdf = empty_tsdf(config.dense)
+                self._integrate = make_integrate(config.dense, self.intr,
+                                                 config.map.depth_scale)
+        if config.dense_icp.mode != "off":
+            if not config.dense.enabled:
+                raise ValueError("dense_icp requires dense.enabled "
+                                 "(the TSDF volume is the model)")
+            if config.dense.submap_every > 0:
+                raise ValueError("dense_icp requires the monolithic "
+                                 "volume (dense.submap_every=0): the "
+                                 "solver aligns against ONE world-frame "
+                                 "TSDF")
+            if config.dense_icp.mode not in ("rescue", "refine"):
+                raise ValueError(f"unknown dense_icp.mode "
+                                 f"{config.dense_icp.mode!r}")
+            from kbslam.mapping.icp import make_icp
+
+            self._icp = make_icp(config.dense, config.dense_icp,
+                                 self.intr, config.map.depth_scale)
         else:
-            self.tsdf = None
-            self._integrate = None
+            self._icp = None
+        self._last_icp_qt = None  # chained rescue poses (host side)
+        self.icp_events: List[dict] = []
         if config.loop.reloc_after > 0:
             from kbslam.loop.reloc import make_reloc_step
 
@@ -251,6 +283,14 @@ class SLAM:
         if self._reloc is not None:
             o = self._reloc_tick(o, args[1:])
 
+        # frame-to-model dense tracking (mapping/icp.py; capability
+        # extension — geometry-only pose source, no texture needed).
+        # AFTER the reloc tick (a reloc'd frame is a keyframe and skips
+        # refine below) and BEFORE dense fusion so a rescued pose is the
+        # one the volume would see.
+        if self._icp is not None:
+            o = self._icp_tick(o, args[2])
+
         # dense TSDF fusion at the keyframe cadence (mapping/dense.py;
         # capability extension — the reference has no dense world model).
         # AFTER the reloc tick: a relocalization-inserted keyframe sets
@@ -260,6 +300,19 @@ class SLAM:
             self.tsdf = self._integrate(self.tsdf, args[2],
                                         jnp.asarray(o.pose_q),
                                         jnp.asarray(o.pose_t))
+        elif self.atlas is not None and bool(o.added_kf):
+            # submap atlas (mapping/submap.py): every submap_every-th
+            # insertion opens a fresh submap ANCHORED at the new
+            # keyframe (global id = num_kf-1 — insertion already
+            # bumped the counter); fusion goes into the active submap
+            # in its anchor-camera frame, so BA/loop corrections to the
+            # anchor keyframe re-pose the chunk at extraction time.
+            q, t = jnp.asarray(o.pose_q), jnp.asarray(o.pose_t)
+            if self._kf_insertions % self.config.dense.submap_every == 0:
+                self.atlas = self._submap_start(
+                    self.atlas, q, t, int(self.state.map.num_kf) - 1)
+            self.atlas = self._submap_fuse(self.atlas, args[2], q, t)
+            self._kf_insertions += 1
 
         if self._loop is not None:
             if bool(o.added_kf):
@@ -293,6 +346,59 @@ class SLAM:
         self.diagnostics.append(diag)
         self._frame += 1
         return diag
+
+    def _icp_tick(self, o, depth_dev):
+        """Frame-to-model dense tracking tick (config.dense_icp):
+
+        - PnP failed -> "rescue"/"refine": align the depth frame to the
+          TSDF from the last emitted pose (chained across consecutive
+          rescues — the device-held pose doesn't know about them) and,
+          when the acceptance gates pass, emit the recovered pose as a
+          success. The device map state is untouched: the next PnP still
+          anchors to the last keyframe exactly like the reference's
+          skip-until-PnP-succeeds contract, but the trajectory (and any
+          consumer of per-frame poses) keeps flowing through texture
+          starvation.
+        - PnP succeeded and mode == "refine": polish the pose against
+          the volume, accepted only when the robust SDF RMSE strictly
+          improves. Skipped on keyframe frames — the inserted keyframe
+          pose belongs to the sparse pipeline/BA, and diverging from it
+          would make the emitted pose inconsistent with the map.
+        """
+        cfg = self.config.dense_icp
+        ok = bool(o.success)
+        if ok:
+            self._last_icp_qt = None
+            if cfg.mode != "refine" or bool(o.added_kf):
+                return o
+            q0, t0 = jnp.asarray(o.pose_q), jnp.asarray(o.pose_t)
+        elif self._last_icp_qt is not None:
+            q0, t0 = self._last_icp_qt
+        else:
+            # hold-pose-on-failure: o already carries the last device-
+            # known pose
+            q0, t0 = jnp.asarray(o.pose_q), jnp.asarray(o.pose_t)
+        r = jax.device_get(self._icp(self.tsdf, depth_dev, q0, t0))
+        accepted = (int(r.num_valid) >= cfg.min_points
+                    and float(r.rmse) <= cfg.accept_rmse_m
+                    and float(r.rmse) <= float(r.rmse_init))
+        if ok:
+            # refine: additionally require strict improvement
+            accepted = accepted and float(r.rmse) < float(r.rmse_init)
+        self.icp_events.append(dict(
+            frame=self._frame, mode=("refine" if ok else "rescue"),
+            accepted=accepted, num_valid=int(r.num_valid),
+            rmse_init=float(r.rmse_init), rmse=float(r.rmse)))
+        if not accepted:
+            return o
+        if not ok:
+            self._last_icp_qt = (jnp.asarray(r.q), jnp.asarray(r.t))
+            # deliberately NOT resetting _fail_streak: the SPARSE
+            # pipeline is still lost (PnP keeps anchoring to a stale
+            # keyframe) — relocalization re-anchors the map and must
+            # still fire on schedule; rescue only keeps the emitted
+            # trajectory flowing in the meantime.
+        return o._replace(success=jnp.bool_(True), pose_q=r.q, pose_t=r.t)
 
     def _reloc_tick(self, o, frame_args):
         """After reloc_after consecutive failures, attempt to re-anchor
@@ -385,10 +491,38 @@ class SLAM:
     def keyframe_positions(self) -> np.ndarray:
         return map_keyframe_positions(self.state.map)
 
+    def _anchor_poses_now(self) -> dict:
+        """kf_id -> CURRENT 4x4 ring pose for every live submap anchor
+        (BA/loop-corrected); anchors whose ring slot was since
+        reallocated are omitted (extraction falls back to the frozen
+        creation pose)."""
+        from kbslam.mapping.submap import live_slots
+
+        m = self.state.map
+        ring_ids = np.asarray(m.kf_id)
+        cap = ring_ids.shape[0]
+        qs, ts = np.asarray(m.kf_q), np.asarray(m.kf_t)
+        ids = np.asarray(self.atlas.anchor_kf_id)
+        poses = {}
+        for slot in live_slots(self.atlas):
+            kid = int(ids[slot])
+            if kid >= 0 and ring_ids[kid % cap] == kid:
+                poses[kid] = pose_T(qs[kid % cap], ts[kid % cap])
+        return poses
+
     def dense_surface(self) -> tuple:
-        """Zero-crossing point cloud of the TSDF volume (requires
+        """Zero-crossing point cloud of the dense model (requires
         ``config.dense.enabled``): (points [M,3] world, |tsdf| residual
-        [M]). See mapping/dense.py surface_points."""
+        [M]). Monolithic volume: mapping/dense.py surface_points.
+        Submap atlas (dense.submap_every > 0): the union of per-submap
+        surfaces, each re-posed by its anchor keyframe's CURRENT pose —
+        this is the path on which loop-closure/BA corrections reach the
+        dense model (mapping/submap.py)."""
+        if self.atlas is not None:
+            from kbslam.mapping.submap import extract_atlas_surface
+
+            return extract_atlas_surface(self.atlas, self.config.dense,
+                                         self._anchor_poses_now())
         if self.tsdf is None:
             raise RuntimeError("dense mapping disabled "
                                "(SLAMConfig.dense.enabled)")
@@ -397,14 +531,49 @@ class SLAM:
         return surface_points(self.tsdf, self.config.dense)
 
     def dense_mesh(self):
-        """TSDF zero-isosurface as a welded TriangleMesh (requires
+        """TSDF zero-isosurface as a TriangleMesh (requires
         ``config.dense.enabled``; offline/host-side like dense_surface).
-        See mapping/mesh.py marching_tetrahedra."""
+        Monolithic volume: one welded mesh (mapping/mesh.py). Submap
+        atlas: per-submap meshes re-posed by their anchors' CURRENT
+        poses and concatenated — welded within each submap, not across
+        seams (overlapping chunks are distinct rigid bodies by
+        design)."""
+        from kbslam.mapping.mesh import TriangleMesh, marching_tetrahedra
+
+        if self.atlas is not None:
+            from kbslam.mapping.dense import TSDFState
+            from kbslam.mapping.submap import live_slots
+
+            poses = self._anchor_poses_now()
+            tsdf = np.asarray(self.atlas.tsdf)
+            weight = np.asarray(self.atlas.weight)
+            ids = np.asarray(self.atlas.anchor_kf_id)
+            aq = np.asarray(self.atlas.anchor_q)
+            at = np.asarray(self.atlas.anchor_t)
+            verts, faces, off = [], [], 0
+            for slot in live_slots(self.atlas):
+                m = marching_tetrahedra(
+                    TSDFState(tsdf=jnp.asarray(tsdf[slot]),
+                              weight=jnp.asarray(weight[slot])),
+                    self.config.dense)
+                if m.vertices.shape[0] == 0:
+                    continue
+                T = poses.get(int(ids[slot]))
+                if T is None:
+                    T = pose_T(aq[slot], at[slot])
+                verts.append(m.vertices @ np.asarray(
+                    T[:3, :3], np.float32).T + np.asarray(T[:3, 3],
+                                                          np.float32))
+                faces.append(m.faces + off)
+                off += m.vertices.shape[0]
+            if not verts:
+                return TriangleMesh(np.zeros((0, 3), np.float32),
+                                    np.zeros((0, 3), np.int32))
+            return TriangleMesh(np.concatenate(verts).astype(np.float32),
+                                np.concatenate(faces).astype(np.int32))
         if self.tsdf is None:
             raise RuntimeError("dense mapping disabled "
                                "(SLAMConfig.dense.enabled)")
-        from kbslam.mapping.mesh import marching_tetrahedra
-
         return marching_tetrahedra(self.tsdf, self.config.dense)
 
     def map_points(self) -> np.ndarray:

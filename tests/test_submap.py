@@ -1,0 +1,204 @@
+"""Submap TSDF atlas (mapping/submap.py) — a dense model that follows
+BA/loop-closure corrections, vs the deliberately-rigid monolithic
+volume (mapping/dense.py limitations note). Capability extension: the
+reference has no dense world model at all (MapPoint.hpp)."""
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from kbslam.config import (DenseMapConfig, KeyframePolicyConfig, MapConfig,
+                           OrbConfig, PnPConfig, SLAMConfig)
+from kbslam.geom.camera import Intrinsics
+from kbslam.geom.se3 import SE3
+from kbslam.io.synthetic import render_sequence
+from kbslam.mapping.dense import empty_tsdf, integrate
+from kbslam.mapping.submap import (SubmapAtlas, empty_atlas,
+                                   extract_atlas_surface, integrate_active,
+                                   live_slots, start_submap)
+from kbslam.slam import SLAM, pose_T
+
+
+def _scene(T=8):
+    seq = render_sequence(num_frames=T, height=120, width=160,
+                          scene="spheres")
+    return seq, Intrinsics.from_matrix(seq.K)
+
+
+def _gt_se3(seq, i):
+    return SE3.from_matrix(jnp.asarray(seq.poses[i], jnp.float32))
+
+
+def test_identity_anchor_matches_monolithic():
+    """One submap anchored at the identity == the monolithic volume:
+    the local frame is then the world frame, so fusing the same frames
+    must produce the same field."""
+    seq, intr = _scene(T=4)
+    cfg = DenseMapConfig(dims=(48, 48, 24), voxel_size=0.17,
+                         origin=(-4.08, -4.08, -1.36))
+    atlas = empty_atlas(cfg, num_submaps=3)
+    atlas = start_submap(atlas, jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+                         kf_id=0)
+    mono = empty_tsdf(cfg)
+    for i in range(4):
+        d = jnp.asarray(seq.depth[i].astype(np.float32) * 0.001)
+        p = _gt_se3(seq, i)
+        atlas = integrate_active(atlas, d, p.q, p.t, intr, cfg)
+        mono = integrate(mono, d, p, intr, cfg)
+    slot = int(atlas.active_slot())
+    np.testing.assert_allclose(np.asarray(atlas.tsdf[slot]),
+                               np.asarray(mono.tsdf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(atlas.weight[slot]),
+                               np.asarray(mono.weight), atol=0)
+
+
+def test_correction_reposes_submap_rigidly():
+    """Extraction re-poses each submap by its anchor's CURRENT pose:
+    handing a corrected anchor pose must move every extracted point by
+    exactly that rigid correction."""
+    seq, intr = _scene(T=3)
+    # finer grid than the equivalence test: at 120x160 the frustum is
+    # narrow, and the extracted-point count scales with voxels-in-band
+    cfg = DenseMapConfig(dims=(48, 48, 28), voxel_size=0.1,
+                         origin=(-2.4, -2.4, 0.2))
+    anchor = _gt_se3(seq, 0)
+    atlas = empty_atlas(cfg, num_submaps=2)
+    atlas = start_submap(atlas, anchor.q, anchor.t, kf_id=7)
+    for i in range(3):
+        d = jnp.asarray(seq.depth[i].astype(np.float32) * 0.001)
+        p = _gt_se3(seq, i)
+        atlas = integrate_active(atlas, d, p.q, p.t, intr, cfg)
+
+    A = np.asarray(anchor.matrix())
+    pts0, res0 = extract_atlas_surface(atlas, cfg, {7: A})
+    assert pts0.shape[0] > 100
+
+    # frozen-fallback path: no pose handed in -> same result (the
+    # stored creation pose IS A)
+    pts_frozen, _ = extract_atlas_surface(atlas, cfg, {})
+    np.testing.assert_allclose(pts_frozen, pts0, atol=1e-5)
+
+    D = np.asarray(SE3.exp(jnp.array([0.3, -0.2, 0.1,
+                                      0.05, -0.04, 0.06])).matrix())
+    pts1, res1 = extract_atlas_surface(atlas, cfg, {7: D @ A})
+    np.testing.assert_allclose(res1, res0)
+    np.testing.assert_allclose(pts1, pts0 @ D[:3, :3].T + D[:3, 3],
+                               atol=1e-4)
+
+
+def test_ring_overwrite_and_live_slots():
+    cfg = DenseMapConfig(dims=(8, 8, 8), voxel_size=0.2)
+    atlas = empty_atlas(cfg, num_submaps=2)
+    for k in range(3):
+        atlas = start_submap(atlas, jnp.array([1.0, 0, 0, 0]),
+                             jnp.full(3, float(k)), kf_id=10 + k)
+    assert int(atlas.count) == 3
+    # oldest-first live slots: submap 1 (slot 1), submap 2 (slot 0)
+    np.testing.assert_array_equal(live_slots(atlas), [1, 0])
+    ids = np.asarray(atlas.anchor_kf_id)
+    assert ids[0] == 12 and ids[1] == 11  # slot 0 was overwritten
+    # the overwritten slot restarted empty
+    assert float(atlas.weight[0].sum()) == 0.0
+
+
+def _slam_cfg(submap_every):
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        policy=KeyframePolicyConfig(min_frame_gap=3),
+        map=MapConfig(max_keyframes=32, max_map_points=16384),
+    )
+    return cfg.replace(dense=dataclasses.replace(
+        cfg.dense, enabled=True, submap_every=submap_every,
+        max_submaps=8))
+
+
+def test_slam_submap_end_to_end():
+    """e2e on tracked poses: submaps open at the configured cadence,
+    the union surface reconstructs the scene about as well as the
+    monolithic volume does on a short (drift-free-ish) run, and
+    dense_mesh returns a non-empty concatenated mesh."""
+    T = 24
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    s = SLAM(_slam_cfg(submap_every=2), seq.K, ba_mode="on_keyframe",
+             use_mask=False)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i])
+    n_kf = sum(d["added_kf"] for d in s.diagnostics)
+    assert int(s.atlas.count) == (n_kf + 1) // 2, (int(s.atlas.count),
+                                                   n_kf)
+    pts, _ = s.dense_surface()
+    assert pts.shape[0] > 500
+
+    # sanity vs the plane: most of the scene is the z=0 plane in the GT
+    # world; the submap union must reconstruct it to centimetres like
+    # the monolithic e2e gate (tests/test_dense.py)
+    T0 = seq.poses[0]
+    pts_gt = pts @ T0[:3, :3].T + T0[:3, 3]
+    near_plane = np.abs(pts_gt[:, 2]) < 0.3
+    assert near_plane.mean() > 0.5
+    assert np.median(np.abs(pts_gt[near_plane, 2])) < 0.03
+
+    mesh = s.dense_mesh()
+    assert mesh.vertices.shape[0] > 100
+    assert mesh.faces.shape[0] > 100
+
+
+def test_slam_submap_follows_ring_correction():
+    """The wiring claim: perturbing an anchor keyframe's RING pose (as
+    loop closure / BA writeback would) must rigidly move that submap's
+    extracted points, while other submaps stay put."""
+    T = 24
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    s = SLAM(_slam_cfg(submap_every=1), seq.K, ba_mode="disabled",
+             use_mask=False)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i])
+    assert int(s.atlas.count) >= 3
+    pts0, _ = s.dense_surface()
+
+    # perturb the LAST anchor's ring pose
+    m = s.state.map
+    ids = np.asarray(s.atlas.anchor_kf_id)
+    last_slot = int(s.atlas.active_slot())
+    kid = int(ids[last_slot])
+    ring_slot = kid % int(m.kf_q.shape[0])
+    dT = SE3.exp(jnp.array([0.5, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    old = SE3(m.kf_q[ring_slot], m.kf_t[ring_slot])
+    new = dT @ old
+    s.state = s.state._replace(map=m._replace(
+        kf_q=m.kf_q.at[ring_slot].set(new.q),
+        kf_t=m.kf_t.at[ring_slot].set(new.t)))
+
+    pts1, _ = s.dense_surface()
+    assert pts1.shape == pts0.shape
+    moved = np.linalg.norm(pts1 - pts0, axis=1)
+    # some points moved by exactly the 0.5 m shift, the rest not at all
+    assert (moved > 0.49).any() and (moved < 1e-6).any()
+    assert ((moved < 1e-6) | (moved > 0.49)).all()
+
+
+def test_cli_dense_submaps_smoke():
+    import json
+    import sys
+    from io import StringIO
+
+    from kbslam.cli import main
+
+    argv = ["--source", "synthetic", "--frames", "12",
+            "--width", "160", "--height", "120",
+            "--ba", "off", "--dense", "--dense-submaps", "2"]
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        main(argv)
+    finally:
+        sys.stdout = old
+    summary = json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert summary["tsdf_submaps"] >= 1
+    assert summary["tsdf_surface_points"] > 0
