@@ -240,7 +240,18 @@ def main(argv=None):
         from kbslam.io.checkpoint import load_checkpoint
 
         slam.state, _ = load_checkpoint(args.resume, cfg)
-        if args.dense and not args.dense_submaps:
+        if args.dense and args.dense_submaps:
+            from kbslam.io.checkpoint import load_checkpoint_atlas
+
+            atlas, kf_ins = load_checkpoint_atlas(args.resume, cfg)
+            if atlas is not None:
+                slam.atlas = atlas
+                slam._kf_insertions = kf_ins
+            else:
+                print("warning: checkpoint has no submap atlas — the "
+                      "dense map restarts empty and will only cover "
+                      "post-resume keyframes", file=sys.stderr)
+        elif args.dense:
             from kbslam.io.checkpoint import load_checkpoint_tsdf
 
             tsdf = load_checkpoint_tsdf(args.resume, cfg)
@@ -333,7 +344,9 @@ def main(argv=None):
         from kbslam.io.checkpoint import save_checkpoint
 
         save_checkpoint(args.save_checkpoint, slam.state,
-                        trajectory=slam.frame_poses, tsdf=slam.tsdf)
+                        trajectory=slam.frame_poses, tsdf=slam.tsdf,
+                        atlas=slam.atlas,
+                        kf_insertions=slam._kf_insertions)
     if args.save_trajectory:
         with open(args.save_trajectory, "w") as f:
             for i, T in enumerate(est):

@@ -25,11 +25,14 @@ _FIELDS_TRACK = ["pose_q", "pose_t", "frames_since_kf", "frame_count"]
 
 def save_checkpoint(path: str, state: TrackState,
                     trajectory: Optional[List[np.ndarray]] = None,
-                    tsdf=None) -> None:
+                    tsdf=None, atlas=None,
+                    kf_insertions: int = 0) -> None:
     """``tsdf``: optional mapping.dense.TSDFState — persisted so a
     --dense run resumes with its volume instead of silently restarting
     from empty (the sparse map would then cover keyframes the volume
-    does not)."""
+    does not). ``atlas``: optional mapping.submap.SubmapAtlas (the
+    --dense-submaps model), with ``kf_insertions`` = the SLAM shell's
+    insertion counter so the every-K submap cadence resumes in phase."""
     arrs = {}
     for name, val in state.map._asdict().items():
         arrs[f"map.{name}"] = np.asarray(val)
@@ -40,6 +43,10 @@ def save_checkpoint(path: str, state: TrackState,
     if tsdf is not None:
         arrs["tsdf.tsdf"] = np.asarray(tsdf.tsdf)
         arrs["tsdf.weight"] = np.asarray(tsdf.weight)
+    if atlas is not None:
+        for name, val in atlas._asdict().items():
+            arrs[f"atlas.{name}"] = np.asarray(val)
+        arrs["atlas.kf_insertions"] = np.int32(kf_insertions)
     tmp = path + ".tmp.npz"  # savez appends .npz unless present
     np.savez_compressed(tmp, **arrs)
     os.replace(tmp, path)  # atomic publish
@@ -78,3 +85,22 @@ def load_checkpoint_tsdf(path: str, cfg: SLAMConfig):
         raise ValueError(f"checkpoint TSDF dims {t.shape} != config "
                          f"{tuple(cfg.dense.dims)}")
     return TSDFState(tsdf=jnp.asarray(t), weight=jnp.asarray(w))
+
+
+def load_checkpoint_atlas(path: str, cfg: SLAMConfig):
+    """Returns (SubmapAtlas, kf_insertions) from a --dense-submaps
+    checkpoint, or (None, 0) if the checkpoint was written without one.
+    Shape-checked against cfg.dense (dims AND ring capacity)."""
+    from kbslam.mapping.submap import SubmapAtlas
+
+    with np.load(path) as z:
+        if "atlas.tsdf" not in z.files:
+            return None, 0
+        fields = {n: z[f"atlas.{n}"] for n in SubmapAtlas._fields}
+        kf_ins = int(z["atlas.kf_insertions"])
+    want = (cfg.dense.max_submaps,) + tuple(cfg.dense.dims)
+    if fields["tsdf"].shape != want:
+        raise ValueError(f"checkpoint atlas shape {fields['tsdf'].shape}"
+                         f" != config {want}")
+    return SubmapAtlas(**{n: jnp.asarray(v) for n, v in fields.items()
+                          }), kf_ins

