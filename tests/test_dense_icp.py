@@ -208,3 +208,41 @@ def test_cli_dense_icp_smoke(tmp_path):
         sys.stdout = old
     summary = json.loads(cap.getvalue().strip().splitlines()[-1])
     assert "icp_rescues" in summary and "icp_refines" in summary
+
+
+def test_icp_rescue_does_not_mask_loss_from_reloc_counter():
+    """Interplay contract: an accepted rescue emits a successful pose
+    but the SPARSE pipeline is still lost (PnP keeps anchoring to a
+    stale keyframe) — so the relocalization failure counter must keep
+    counting through rescued frames, letting reloc re-anchor the map on
+    schedule. (A rescue that reset the counter would suppress reloc for
+    as long as geometry kept it alive.)"""
+    from kbslam.config import LoopConfig
+
+    T = 28
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    mask = seq.mask.copy()
+    black = list(range(16, 22))
+    mask[black] = 0
+
+    cfg = _blackout_cfg()
+    cfg = cfg.replace(
+        dense_icp=dataclasses.replace(cfg.dense_icp, mode="rescue"),
+        # reloc machinery ON (the counter runs) but with a threshold
+        # beyond the blackout so the count itself is observable
+        loop=LoopConfig(reloc_after=99))
+    s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=True)
+    streaks = []
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i], mask[i])
+        streaks.append(s._fail_streak)
+
+    rescued = sum(1 for e in s.icp_events
+                  if e["mode"] == "rescue" and e["accepted"])
+    assert rescued >= 4, s.icp_events
+    # the streak must have accumulated across the rescued frames
+    # (pre-fix behavior: every accepted rescue reset it -> max 1)
+    assert max(streaks[black[0]:black[-1] + 1]) >= 4, streaks
+    # and PnP re-acquiring after the blackout clears it
+    assert streaks[-1] == 0, streaks
