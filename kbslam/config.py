@@ -260,7 +260,13 @@ class DenseIcpConfig:
       - "rescue": on PnP failure, align the depth frame to the volume
         from the last emitted pose; accept on the gates below;
       - "refine": additionally polish every successful PnP pose,
-        accepted only when the SDF RMSE strictly improves.
+        accepted only when the SDF RMSE strictly improves. CAUTION —
+        measured unsafe as a default (benchmarks/exp_icp_ate.py): the
+        volume is built from tracked poses, so the RMSE gate accepts
+        ~100% of steps INCLUDING ones that reinforce baked-in drift
+        (4/6 scene-seeds improved up to 25%, one regressed 3.4x).
+        Rescue has no such failure mode: it only fires on frames that
+        would otherwise fail outright.
 
     Kept separate from DenseMapConfig so ICP knob changes don't change
     the fusion jit cache key (make_integrate takes the map config)."""

@@ -97,17 +97,34 @@ def start_submap(atlas: SubmapAtlas, q, t, kf_id) -> SubmapAtlas:
 
 
 def integrate_active(atlas: SubmapAtlas, depth_m, q, t,
-                     intr: Intrinsics, cfg: DenseMapConfig) -> SubmapAtlas:
+                     intr: Intrinsics, cfg: DenseMapConfig,
+                     anchor_q=None, anchor_t=None) -> SubmapAtlas:
     """Fuse one metric depth image taken at WORLD pose (q, t) into the
-    active submap, in that submap's local (anchor-camera) frame."""
+    active submap, in that submap's local (anchor-camera) frame.
+
+    ``anchor_q/anchor_t``: the anchor keyframe's CURRENT ring pose.
+    Frame poses live in the current (BA/loop-corrected) gauge, so the
+    local conversion must use the anchor's pose in the SAME gauge —
+    using the frozen creation pose when a correction fired between
+    creation and this fusion bakes the correction delta INTO the chunk,
+    and extraction (which re-poses by the current anchor pose) then
+    applies it twice. Measured on the drifting 3-lap spheres scene
+    (benchmarks/exp_submap_loop.py): the frozen-anchor fusion made
+    corrected extraction WORSE than frozen extraction by 5-9 mm median.
+    The pose used is also stored back as the slot's anchor, keeping the
+    frozen-extraction fallback consistent with the newest content.
+    Defaults to the stored anchor when omitted."""
     slot = atlas.active_slot()
+    if anchor_q is None:
+        anchor_q = atlas.anchor_q[slot]
+        anchor_t = atlas.anchor_t[slot]
     shp = (1,) + atlas.tsdf.shape[1:]
     sub = TSDFState(
         tsdf=jax.lax.dynamic_slice(atlas.tsdf, (slot, 0, 0, 0),
                                    shp)[0],
         weight=jax.lax.dynamic_slice(atlas.weight, (slot, 0, 0, 0),
                                      shp)[0])
-    anchor = SE3(atlas.anchor_q[slot], atlas.anchor_t[slot])
+    anchor = SE3(jnp.asarray(anchor_q), jnp.asarray(anchor_t))
     local = anchor.inverse() @ SE3(q, t)
     sub = integrate(sub, depth_m, local, intr, cfg)
     return atlas._replace(
@@ -115,7 +132,9 @@ def integrate_active(atlas: SubmapAtlas, depth_m, q, t,
                                           (slot, 0, 0, 0)),
         weight=jax.lax.dynamic_update_slice(atlas.weight,
                                             sub.weight[None],
-                                            (slot, 0, 0, 0)))
+                                            (slot, 0, 0, 0)),
+        anchor_q=atlas.anchor_q.at[slot].set(anchor.q),
+        anchor_t=atlas.anchor_t.at[slot].set(anchor.t))
 
 
 @functools.lru_cache(maxsize=8)
@@ -123,18 +142,20 @@ def make_submap_ops(cfg: DenseMapConfig, intr: Intrinsics,
                     num_submaps: int, depth_scale: float = 1.0):
     """lru_cached jit factories (per-instance jit wrappers retrace —
     the round-3 async-BA lesson). Returns (start, fuse):
-    start(atlas, q, t, kf_id); fuse(atlas, depth_raw, q, t)."""
+    start(atlas, q, t, kf_id);
+    fuse(atlas, depth_raw, q, t, anchor_q, anchor_t) — the caller
+    passes the anchor's CURRENT ring pose (see integrate_active)."""
 
     def start(atlas, q, t, kf_id):
         return start_submap(atlas, q, t, kf_id)
 
-    def fuse(atlas, depth_raw, q, t):
+    def fuse(atlas, depth_raw, q, t, anchor_q, anchor_t):
         # house rule: explicit HIGHEST wrap on geometric jit entry
         # points (CLAUDE.md gotcha #4)
         with jax.default_matmul_precision("highest"):
             return integrate_active(
                 atlas, depth_raw.astype(jnp.float32) * depth_scale,
-                q, t, intr, cfg)
+                q, t, intr, cfg, anchor_q, anchor_t)
 
     return jax.jit(start), jax.jit(fuse)
 

@@ -311,7 +311,13 @@ class SLAM:
             if self._kf_insertions % self.config.dense.submap_every == 0:
                 self.atlas = self._submap_start(
                     self.atlas, q, t, int(self.state.map.num_kf) - 1)
-            self.atlas = self._submap_fuse(self.atlas, args[2], q, t)
+            # fuse against the anchor's CURRENT ring pose — the frame
+            # pose lives in the current (corrected) gauge, and mixing
+            # gauges double-applies corrections at extraction
+            # (integrate_active docstring)
+            aq, at = self._anchor_pose_now()
+            self.atlas = self._submap_fuse(self.atlas, args[2], q, t,
+                                           aq, at)
             self._kf_insertions += 1
 
         if self._loop is not None:
@@ -509,6 +515,20 @@ class SLAM:
             if kid >= 0 and ring_ids[kid % cap] == kid:
                 poses[kid] = pose_T(qs[kid % cap], ts[kid % cap])
         return poses
+
+    def _anchor_pose_now(self):
+        """(q, t) of the ACTIVE submap's anchor keyframe at its current
+        ring pose (the gauge frame poses live in); falls back to the
+        stored last-used anchor pose if the ring slot was reallocated.
+        Derived from the atlas itself so it survives checkpoint
+        resume."""
+        s = int(self.atlas.active_slot())
+        kid = int(self.atlas.anchor_kf_id[s])
+        m = self.state.map
+        cap = m.kf_id.shape[0]
+        if kid >= 0 and int(m.kf_id[kid % cap]) == kid:
+            return m.kf_q[kid % cap], m.kf_t[kid % cap]
+        return self.atlas.anchor_q[s], self.atlas.anchor_t[s]
 
     def dense_surface(self) -> tuple:
         """Zero-crossing point cloud of the dense model (requires

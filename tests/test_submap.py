@@ -259,3 +259,51 @@ def test_atlas_checkpoint_roundtrip(tmp_path):
     s2 = run(base + ["--resume", str(ckpt)])
     assert s2["tsdf_observed_voxels"] >= s1["tsdf_observed_voxels"]
     assert s2["tsdf_submaps"] >= s1["tsdf_submaps"]
+
+
+def test_mid_submap_correction_fuses_gauge_consistently():
+    """Gauge rule (integrate_active docstring): fusion must use the
+    anchor's pose in the SAME gauge as the frame pose. If a rigid
+    correction D fires mid-submap (anchor ring pose becomes D*A and
+    subsequent frame poses arrive as D*P), the chunk's LOCAL content
+    must be unchanged — (D*A)^-1 (D*P) == A^-1 P. The pre-fix code
+    froze the creation anchor A, baking D into the chunk and letting
+    extraction (which re-poses by D*A) apply it twice."""
+    seq, intr = _scene(T=3)
+    cfg = DenseMapConfig(dims=(48, 48, 28), voxel_size=0.1,
+                         origin=(-2.4, -2.4, 0.2))
+    A = _gt_se3(seq, 0)
+    D = SE3.exp(jnp.array([0.2, -0.1, 0.05, 0.03, -0.02, 0.04]))
+
+    def fuse(atlas, i, frame, anchor):
+        d = jnp.asarray(seq.depth[i].astype(np.float32) * 0.001)
+        return integrate_active(atlas, d, frame.q, frame.t, intr, cfg,
+                                anchor.q, anchor.t)
+
+    # reference: the whole submap fused in one gauge (no correction)
+    ref = start_submap(empty_atlas(cfg, 2), A.q, A.t, kf_id=7)
+    for i in range(3):
+        ref = fuse(ref, i, _gt_se3(seq, i), A)
+
+    # correction D fires after frame 1: frame 2's pose and the anchor's
+    # ring pose both live in the corrected gauge
+    cor = start_submap(empty_atlas(cfg, 2), A.q, A.t, kf_id=7)
+    for i in range(2):
+        cor = fuse(cor, i, _gt_se3(seq, i), A)
+    cor = fuse(cor, 2, D @ _gt_se3(seq, 2), D @ A)
+
+    slot = int(ref.active_slot())
+    dt = np.abs(np.asarray(cor.tsdf[slot]) - np.asarray(ref.tsdf[slot]))
+    dw = np.abs(np.asarray(cor.weight[slot])
+                - np.asarray(ref.weight[slot]))
+    # identical local fields up to f32 pose-compose noise (allow a few
+    # nearest-neighbor boundary flips)
+    assert (dt > 2e-3).mean() < 1e-3, (dt.max(), (dt > 2e-3).mean())
+    assert (dw > 0).mean() < 1e-3
+
+    # and the stored anchor now reflects the corrected gauge, so the
+    # frozen-fallback extraction stays consistent with newest content
+    DA = np.asarray((D @ A).matrix())
+    got = np.asarray(SE3(cor.anchor_q[slot],
+                         cor.anchor_t[slot]).matrix())
+    np.testing.assert_allclose(got, DA, atol=1e-5)
