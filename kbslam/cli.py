@@ -212,10 +212,6 @@ def main(argv=None):
 
         if not args.dense:
             ap.error("--dense-submaps requires --dense")
-        if args.chunk:
-            ap.error("--dense-submaps runs on the per-frame path only "
-                     "(the chunked executor fuses the monolithic volume "
-                     "chunk-late)")
         cfg = cfg.replace(dense=dataclasses.replace(
             cfg.dense, submap_every=args.dense_submaps))
     if args.dense_icp != "off":
@@ -382,7 +378,24 @@ def _run_chunked(args, cfg, K, frames, dist):
     cs = ChunkedStream(cfg, intr, state, chunk=args.chunk,
                        gray=args.gray, use_mask=args.mask,
                        ba_mode="async" if args.ba == "async" else "off")
-    if args.resume and args.dense:
+    if args.resume and args.dense and args.dense_submaps:
+        from kbslam.io.checkpoint import load_checkpoint_atlas
+
+        _atlas, _kf_ins = load_checkpoint_atlas(args.resume, cfg)
+        if _atlas is not None:
+            cs.atlas = _atlas
+            cs._kf_insertions = _kf_ins
+            # count of opened submaps and the active anchor, recovered
+            # from the atlas itself (same derivation the per-frame
+            # shell's checkpoint path uses)
+            cs._submaps_opened = int(_atlas.count)
+            s = int(_atlas.active_slot())
+            cs._active_anchor_kid = int(_atlas.anchor_kf_id[s])
+        else:
+            print("warning: checkpoint has no submap atlas — the "
+                  "dense map restarts empty and will only cover "
+                  "post-resume keyframes", file=sys.stderr)
+    elif args.resume and args.dense:
         from kbslam.io.checkpoint import load_checkpoint_tsdf
 
         _tsdf = load_checkpoint_tsdf(args.resume, cfg)
@@ -406,9 +419,7 @@ def _run_chunked(args, cfg, K, frames, dist):
                 viewer.update(np.stack(traj), map_keyframe_positions(m),
                               map_point_positions(m), rgb_v, dep_v, msk_v)
             if viewer is not None and args.dense and r["added_kf"]:
-                from kbslam.mapping.dense import surface_points
-
-                viewer.update_dense(surface_points(cs.tsdf, cfg.dense)[0])
+                viewer.update_dense(cs.dense_surface()[0])
         for r in drained:
             frame_buf.pop(r["frame"], None)
 
@@ -446,7 +457,8 @@ def _run_chunked(args, cfg, K, frames, dist):
         # include the per-frame trajectory, matching the per-frame path's
         # checkpoint contents (load_checkpoint's trajectory slot)
         save_checkpoint(args.save_checkpoint, cs.state, trajectory=list(est),
-                        tsdf=cs.tsdf)
+                        tsdf=cs.tsdf, atlas=cs.atlas,
+                        kf_insertions=getattr(cs, "_kf_insertions", 0))
     summary = dict(
         frames=n,
         success=sum(r["success"] for r in results),
@@ -459,19 +471,28 @@ def _run_chunked(args, cfg, K, frames, dist):
     if args.loop:
         summary["loop_closures"] = len(cs.loop_events)
     if args.dense:
-        from kbslam.mapping.dense import surface_points
-
-        pts, _ = surface_points(cs.tsdf, cfg.dense)
+        pts, _ = cs.dense_surface()
+        vol = cs.tsdf if cs.tsdf is not None else cs.atlas
         summary["tsdf_observed_voxels"] = int(
-            (np.asarray(cs.tsdf.weight) > 0).sum())
+            (np.asarray(vol.weight) > 0).sum())
         summary["tsdf_surface_points"] = len(pts)
+        if cs.atlas is not None:
+            summary["tsdf_submaps"] = int(min(int(cs.atlas.count),
+                                              cs.atlas.capacity))
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            from kbslam.mapping.mesh import marching_tetrahedra
+            if cs.atlas is not None:
+                from kbslam.mapping.submap import (anchor_poses_now,
+                                                   atlas_mesh)
 
-            _export_mesh(marching_tetrahedra(cs.tsdf, cfg.dense),
-                         args.save_mesh, summary, viewer)
+                mesh = atlas_mesh(cs.atlas, cfg.dense,
+                                  anchor_poses_now(cs.atlas, cs.state.map))
+            else:
+                from kbslam.mapping.mesh import marching_tetrahedra
+
+                mesh = marching_tetrahedra(cs.tsdf, cfg.dense)
+            _export_mesh(mesh, args.save_mesh, summary, viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

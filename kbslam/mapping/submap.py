@@ -169,6 +169,64 @@ def live_slots(atlas: SubmapAtlas) -> np.ndarray:
     return np.array([(c - n + k) % s for k in range(n)], np.int32)
 
 
+def anchor_poses_now(atlas: SubmapAtlas, map_state) -> dict:
+    """kf_id -> CURRENT 4x4 ring pose for every live submap anchor
+    (BA/loop-corrected); anchors whose map-ring slot was since
+    reallocated are omitted (extraction falls back to the frozen
+    creation pose). Host-side, extraction-time only (syncs the map
+    ring to the host). Shared by the per-frame SLAM shell and the
+    chunked streaming executor."""
+    from kbslam.slam import pose_T
+
+    ring_ids = np.asarray(map_state.kf_id)
+    cap = ring_ids.shape[0]
+    qs, ts = np.asarray(map_state.kf_q), np.asarray(map_state.kf_t)
+    ids = np.asarray(atlas.anchor_kf_id)
+    poses = {}
+    for slot in live_slots(atlas):
+        kid = int(ids[slot])
+        if kid >= 0 and ring_ids[kid % cap] == kid:
+            poses[kid] = pose_T(qs[kid % cap], ts[kid % cap])
+    return poses
+
+
+def atlas_mesh(atlas: SubmapAtlas, cfg: DenseMapConfig,
+               anchor_poses: Optional[dict] = None):
+    """Union TriangleMesh of the atlas (host-side; not hot): per-submap
+    marching-tetrahedra meshes re-posed by their anchors' CURRENT poses
+    (``anchor_poses``: kf_id -> 4x4; frozen creation pose when absent)
+    and concatenated — welded within each submap, not across seams
+    (overlapping chunks are distinct rigid bodies by design)."""
+    from kbslam.mapping.mesh import TriangleMesh, marching_tetrahedra
+    from kbslam.slam import pose_T
+
+    anchor_poses = anchor_poses or {}
+    tsdf = np.asarray(atlas.tsdf)
+    weight = np.asarray(atlas.weight)
+    ids = np.asarray(atlas.anchor_kf_id)
+    aq = np.asarray(atlas.anchor_q)
+    at = np.asarray(atlas.anchor_t)
+    verts, faces, off = [], [], 0
+    for slot in live_slots(atlas):
+        m = marching_tetrahedra(
+            TSDFState(tsdf=jnp.asarray(tsdf[slot]),
+                      weight=jnp.asarray(weight[slot])), cfg)
+        if m.vertices.shape[0] == 0:
+            continue
+        T = anchor_poses.get(int(ids[slot]))
+        if T is None:
+            T = pose_T(aq[slot], at[slot])
+        verts.append(m.vertices @ np.asarray(T[:3, :3], np.float32).T
+                     + np.asarray(T[:3, 3], np.float32))
+        faces.append(m.faces + off)
+        off += m.vertices.shape[0]
+    if not verts:
+        return TriangleMesh(np.zeros((0, 3), np.float32),
+                            np.zeros((0, 3), np.int32))
+    return TriangleMesh(np.concatenate(verts).astype(np.float32),
+                        np.concatenate(faces).astype(np.int32))
+
+
 def extract_atlas_surface(
         atlas: SubmapAtlas, cfg: DenseMapConfig,
         anchor_poses: Optional[dict] = None,

@@ -498,23 +498,12 @@ class SLAM:
         return map_keyframe_positions(self.state.map)
 
     def _anchor_poses_now(self) -> dict:
-        """kf_id -> CURRENT 4x4 ring pose for every live submap anchor
-        (BA/loop-corrected); anchors whose ring slot was since
-        reallocated are omitted (extraction falls back to the frozen
-        creation pose)."""
-        from kbslam.mapping.submap import live_slots
+        """kf_id -> CURRENT ring pose per live submap anchor
+        (mapping/submap.anchor_poses_now, shared with the chunked
+        executor)."""
+        from kbslam.mapping.submap import anchor_poses_now
 
-        m = self.state.map
-        ring_ids = np.asarray(m.kf_id)
-        cap = ring_ids.shape[0]
-        qs, ts = np.asarray(m.kf_q), np.asarray(m.kf_t)
-        ids = np.asarray(self.atlas.anchor_kf_id)
-        poses = {}
-        for slot in live_slots(self.atlas):
-            kid = int(ids[slot])
-            if kid >= 0 and ring_ids[kid % cap] == kid:
-                poses[kid] = pose_T(qs[kid % cap], ts[kid % cap])
-        return poses
+        return anchor_poses_now(self.atlas, self.state.map)
 
     def _anchor_pose_now(self):
         """(q, t) of the ACTIVE submap's anchor keyframe at its current
@@ -558,39 +547,13 @@ class SLAM:
         poses and concatenated — welded within each submap, not across
         seams (overlapping chunks are distinct rigid bodies by
         design)."""
-        from kbslam.mapping.mesh import TriangleMesh, marching_tetrahedra
+        from kbslam.mapping.mesh import marching_tetrahedra
 
         if self.atlas is not None:
-            from kbslam.mapping.dense import TSDFState
-            from kbslam.mapping.submap import live_slots
+            from kbslam.mapping.submap import atlas_mesh
 
-            poses = self._anchor_poses_now()
-            tsdf = np.asarray(self.atlas.tsdf)
-            weight = np.asarray(self.atlas.weight)
-            ids = np.asarray(self.atlas.anchor_kf_id)
-            aq = np.asarray(self.atlas.anchor_q)
-            at = np.asarray(self.atlas.anchor_t)
-            verts, faces, off = [], [], 0
-            for slot in live_slots(self.atlas):
-                m = marching_tetrahedra(
-                    TSDFState(tsdf=jnp.asarray(tsdf[slot]),
-                              weight=jnp.asarray(weight[slot])),
-                    self.config.dense)
-                if m.vertices.shape[0] == 0:
-                    continue
-                T = poses.get(int(ids[slot]))
-                if T is None:
-                    T = pose_T(aq[slot], at[slot])
-                verts.append(m.vertices @ np.asarray(
-                    T[:3, :3], np.float32).T + np.asarray(T[:3, 3],
-                                                          np.float32))
-                faces.append(m.faces + off)
-                off += m.vertices.shape[0]
-            if not verts:
-                return TriangleMesh(np.zeros((0, 3), np.float32),
-                                    np.zeros((0, 3), np.int32))
-            return TriangleMesh(np.concatenate(verts).astype(np.float32),
-                                np.concatenate(faces).astype(np.int32))
+            return atlas_mesh(self.atlas, self.config.dense,
+                              self._anchor_poses_now())
         if self.tsdf is None:
             raise RuntimeError("dense mapping disabled "
                                "(SLAMConfig.dense.enabled)")

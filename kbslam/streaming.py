@@ -151,18 +151,42 @@ class ChunkedStream:
         # public alias of the runner's event list (same list object)
         self.loop_events: List[dict] = (
             self._loop.events if self._loop is not None else [])
+        self.tsdf = None
+        self._integrate = None
+        self.atlas = None
+        self._submap_start = self._submap_fuse = None
+        self._dense = bool(cfg.dense.enabled)
+        self._dense_cfg = cfg.dense
         if cfg.dense.enabled:
-            from kbslam.mapping.dense import empty_tsdf, make_integrate
-
-            self.tsdf = empty_tsdf(cfg.dense)
-            self._integrate = make_integrate(cfg.dense, intr,
-                                             cfg.map.depth_scale)
             # keyframe fusion needs the frame's depth AFTER it drains
             # (up to 2C frames late): keep recent host depth by index
             self._depth_ring: dict = {}
-        else:
-            self.tsdf = None
-            self._integrate = None
+            if cfg.dense.submap_every > 0:
+                from kbslam.mapping.submap import (empty_atlas,
+                                                   make_submap_ops)
+
+                self.atlas = empty_atlas(cfg.dense, cfg.dense.max_submaps)
+                self._submap_start, self._submap_fuse = make_submap_ops(
+                    cfg.dense, intr, cfg.dense.max_submaps,
+                    cfg.map.depth_scale)
+                # host-side insertion bookkeeping for the chunk-late
+                # fusion (matches the per-frame shell's counters):
+                # global kf ids are assigned monotonically at insertion
+                # (mapping/state.py num_kf), so the id of the n-th
+                # DRAINED insertion is num_kf(at construction) + n —
+                # no sync against the in-flight state needed. ``state``
+                # is concrete here (pre-run or resumed from checkpoint).
+                self._next_kf_id = int(state.map.num_kf)
+                self._kf_insertions = 0
+                self._active_anchor_kid = -1
+                self._submaps_opened = 0
+                self._kf_cap = int(state.map.kf_id.shape[0])
+            else:
+                from kbslam.mapping.dense import empty_tsdf, make_integrate
+
+                self.tsdf = empty_tsdf(cfg.dense)
+                self._integrate = make_integrate(cfg.dense, intr,
+                                                 cfg.map.depth_scale)
         self._host: List[tuple] = []
         self._inflight = []   # [(n_real, batched TrackOutput futures)]
         self._drained: List[dict] = []
@@ -200,18 +224,74 @@ class ChunkedStream:
                 anchor_q=np.asarray(o.anchor_q[i]),
                 anchor_t=np.asarray(o.anchor_t[i]),
             ))
-            if bool(o.added_kf[i]) and self._integrate is not None:
+            if bool(o.added_kf[i]) and self._dense:
                 # chunk-late TSDF fusion of the keyframe's depth at its
                 # drained pose (mapping/dense.py; ~0.6 MB re-upload per
                 # insertion — negligible next to the frame stream)
-                self.tsdf = self._integrate(
-                    self.tsdf, jnp.asarray(self._depth_ring[self._frame]),
-                    jnp.asarray(o.pose_q[i]), jnp.asarray(o.pose_t[i]))
-            if self._integrate is not None:
+                q = jnp.asarray(o.pose_q[i])
+                t = jnp.asarray(o.pose_t[i])
+                d = jnp.asarray(self._depth_ring[self._frame])
+                if self._integrate is not None:
+                    self.tsdf = self._integrate(self.tsdf, d, q, t)
+                else:
+                    # submap atlas (mapping/submap.py), same cadence/
+                    # gauge rules as the per-frame shell (slam.py)
+                    kid = self._next_kf_id
+                    every = self._dense_cfg.submap_every
+                    if self._kf_insertions % every == 0:
+                        self.atlas = self._submap_start(self.atlas, q, t,
+                                                        kid)
+                        self._active_anchor_kid = kid
+                        self._submaps_opened += 1
+                    aq, at = self._anchor_pose_now()
+                    self.atlas = self._submap_fuse(self.atlas, d, q, t,
+                                                   aq, at)
+                    self._kf_insertions += 1
+                    self._next_kf_id += 1
+            if self._dense:
                 self._depth_ring.pop(self._frame, None)
             added += int(bool(o.added_kf[i]))
             self._frame += 1
         return added
+
+    def _anchor_pose_now(self):
+        """(q, t) of the ACTIVE submap anchor's current ring pose, as
+        LAZY device slices of the live (possibly still-computing) state
+        — fusion must use the anchor pose in the same gauge as the
+        frame pose (integrate_active docstring) and must not host-sync
+        the in-flight chunk. The liveness check is conservative and
+        host-only: the ring slot for global id ``kid`` is overwritten
+        by insertion ``kid + cap``, and at most (fed − drained) frames'
+        insertions can be in flight beyond the drained count; when the
+        slot COULD have been reallocated, fall back to the atlas's
+        stored anchor pose (the per-frame shell's fallback)."""
+        kid = self._active_anchor_kid
+        inflight = self._fed - self._frame
+        if kid >= 0 and self._next_kf_id + inflight <= kid + self._kf_cap:
+            m = self.state.map
+            return m.kf_q[kid % self._kf_cap], m.kf_t[kid % self._kf_cap]
+        slot = (self._submaps_opened - 1) % self.atlas.capacity
+        return self.atlas.anchor_q[slot], self.atlas.anchor_t[slot]
+
+    def dense_surface(self) -> tuple:
+        """Zero-crossing point cloud of the dense model (requires
+        ``cfg.dense.enabled``): (points [M,3] world, |tsdf| residual
+        [M]). Mirrors SLAM.dense_surface — submap-atlas extraction
+        re-poses chunks by their anchors' CURRENT ring poses (syncs the
+        live state to the host; extraction-time only, not hot)."""
+        if self.atlas is not None:
+            from kbslam.mapping.submap import (anchor_poses_now,
+                                               extract_atlas_surface)
+
+            return extract_atlas_surface(
+                self.atlas, self._dense_cfg,
+                anchor_poses_now(self.atlas, self.state.map))
+        if self.tsdf is None:
+            raise RuntimeError("dense mapping disabled "
+                               "(SLAMConfig.dense.enabled)")
+        from kbslam.mapping.dense import surface_points
+
+        return surface_points(self.tsdf, self._dense_cfg)
 
     def _record_ba_stats(self, s):
         """Append one solve's stats; ``s`` must already be host-side
@@ -262,7 +342,7 @@ class ChunkedStream:
 
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
-        if self._integrate is not None:
+        if self._dense:
             self._depth_ring[self._fed] = depth
         self._fed += 1
         if self.gray and rgb.ndim == 3:

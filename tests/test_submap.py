@@ -307,3 +307,108 @@ def test_mid_submap_correction_fuses_gauge_consistently():
     got = np.asarray(SE3(cor.anchor_q[slot],
                          cor.anchor_t[slot]).matrix())
     np.testing.assert_allclose(got, DA, atol=1e-5)
+
+
+def test_chunked_submaps_match_per_frame_path():
+    """The chunked executor's atlas path (streaming.py) fuses the same
+    keyframes at the same drained poses with the same anchor gauge the
+    per-frame shell does (chunked == per-frame tracking is pinned in
+    test_streaming.py), so with BA off the whole atlas must come out
+    identical — fields, anchors, and the ring counter."""
+    from kbslam.pipeline import init_state
+    from kbslam.streaming import ChunkedStream
+
+    T = 24
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    cfg = _slam_cfg(submap_every=2)
+    intr = Intrinsics.from_matrix(seq.K)
+
+    s = SLAM(cfg, seq.K, ba_mode="disabled", use_mask=False)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i])
+
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=8)
+    got = []
+    for i in range(T):
+        got += cs.feed(seq.rgb[i], seq.depth[i])
+    got += cs.flush()
+    assert len(got) == T
+    assert not cs._depth_ring, "depth ring must drain"
+
+    assert int(cs.atlas.count) == int(s.atlas.count) >= 2
+    np.testing.assert_array_equal(np.asarray(cs.atlas.anchor_kf_id),
+                                  np.asarray(s.atlas.anchor_kf_id))
+    np.testing.assert_allclose(np.asarray(cs.atlas.anchor_q),
+                               np.asarray(s.atlas.anchor_q))
+    np.testing.assert_allclose(np.asarray(cs.atlas.anchor_t),
+                               np.asarray(s.atlas.anchor_t))
+    np.testing.assert_allclose(np.asarray(cs.atlas.weight),
+                               np.asarray(s.atlas.weight))
+    np.testing.assert_allclose(np.asarray(cs.atlas.tsdf),
+                               np.asarray(s.atlas.tsdf), atol=1e-6)
+    # extraction agrees too (both read their own live map rings)
+    p1, _ = s.dense_surface()
+    p2, _ = cs.dense_surface()
+    np.testing.assert_allclose(p2, p1, atol=1e-5)
+
+
+def test_chunked_submaps_with_async_ba():
+    """Composition: chunk-late async-BA merges move ring poses between
+    fusions; the chunked atlas path must keep fusing in the corrected
+    anchor gauge (integrate_active docstring) and extraction must keep
+    working."""
+    from kbslam.pipeline import init_state
+    from kbslam.streaming import ChunkedStream
+
+    T = 24
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres", depth_noise_mm=3.0)
+    cfg = _slam_cfg(submap_every=2)
+    intr = Intrinsics.from_matrix(seq.K)
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=6,
+                       ba_mode="async")
+    got = []
+    for i in range(T):
+        got += cs.feed(seq.rgb[i], seq.depth[i])
+    got += cs.flush()
+    assert len(got) == T
+    assert len(cs.ba_stats) >= 1, "async BA must have solved"
+    assert int(cs.atlas.count) >= 2
+    pts, _ = cs.dense_surface()
+    assert pts.shape[0] > 200
+
+
+def test_cli_chunked_submaps_roundtrip(tmp_path):
+    """CLI surface: --chunk composes with --dense-submaps (fusion runs
+    chunk-late like the monolithic path), the summary reports the atlas,
+    and checkpoint/resume carries it across chunked runs."""
+    import json
+    import sys
+    from io import StringIO
+
+    from kbslam.cli import main
+
+    ckpt = tmp_path / "c.npz"
+
+    def run(argv):
+        cap = StringIO()
+        old = sys.stdout
+        sys.stdout = cap
+        try:
+            main(argv)
+        finally:
+            sys.stdout = old
+        return json.loads(cap.getvalue().strip().splitlines()[-1])
+
+    base = ["--source", "synthetic", "--frames", "16",
+            "--width", "160", "--height", "120", "--ba", "off",
+            "--chunk", "4", "--dense", "--dense-submaps", "2"]
+    s1 = run(base + ["--save-checkpoint", str(ckpt)])
+    assert s1["tsdf_submaps"] >= 1
+    assert s1["tsdf_surface_points"] > 0
+    assert s1["tsdf_observed_voxels"] > 0
+
+    s2 = run(base + ["--resume", str(ckpt)])
+    assert s2["tsdf_observed_voxels"] >= s1["tsdf_observed_voxels"]
+    assert s2["tsdf_submaps"] >= s1["tsdf_submaps"]
