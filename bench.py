@@ -439,6 +439,47 @@ def main():
     except Exception as e:  # must not kill the headline
         tsdf_ms = repr(e)
 
+    # --- submap-atlas fusion cost (--dense-submaps K) ----------------------
+    # Same fusion as the monolithic volume plus the [1,nx,ny,nz]
+    # dynamic-slice in/out of the [S,·] ring (mapping/submap.py). N
+    # fusions per scan dispatch (poses VARY; fields consumed — #2/#3).
+    submap_ms = None
+    try:
+        from kbslam.mapping.submap import empty_atlas, integrate_active
+        from kbslam.mapping.submap import start_submap as _start
+
+        dcfg3 = cfg.dense
+        depth_m3 = jnp.asarray(
+            np.asarray(seq.depth[0], np.float32) * cfg.map.depth_scale)
+        N_SUB = 32
+        atlas0 = _start(empty_atlas(dcfg3, 16),
+                        jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), kf_id=0)
+
+        def sub_scan(a, qs, ts, d):
+            def body(a, xs):
+                q, t = xs
+                return integrate_active(a, d + 1e-4 * q[0], q, t, intr,
+                                        dcfg3, q, t * 0.0), None
+            return jax.lax.scan(body, a, (qs, ts))[0]
+
+        sub_j = jax.jit(sub_scan)
+        qs3 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (N_SUB, 1))
+        ts3 = jnp.linspace(0.0, 0.1, N_SUB)[:, None] * jnp.ones(3)
+        _log("compiling submap fuse scan")
+        out_a = sub_j(atlas0, qs3, ts3, depth_m3)
+        np.asarray(out_a.weight.sum())
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out_a = sub_j(atlas0, qs3, ts3, depth_m3)
+            np.asarray(out_a.weight.sum())
+            np.asarray(out_a.tsdf[0, 0, 0, :4])
+            best = min(best, (time.perf_counter() - t0) / N_SUB * 1e3)
+        submap_ms = round(best, 3)
+        _log(f"submap fuse: {submap_ms} ms/keyframe (16-slot atlas)")
+    except Exception as e:  # must not kill the headline
+        submap_ms = repr(e)
+
     # --- frame-to-model dense ICP cost (--dense-icp rescue/refine) --------
     # One solve per PnP-failure frame (rescue) — icp.iters GN trips of
     # ONE [P,8] trilinear gather + a HIGHEST 6x6 normal-equation build.
@@ -532,6 +573,7 @@ def main():
             "local_ba_ms_resolve_converged": round(ba_ms, 2),
             "loop_probe_ms_per_kf_insertion": loop_probe_ms,
             "tsdf_fuse_ms_per_kf_insertion": tsdf_ms,
+            "submap_fuse_ms_per_kf_insertion": submap_ms,
             "dense_icp_ms_per_solve": icp_ms,
             "global_ba_stress_s": ga_line.get("value"),
             "global_ba_stress": ga_line.get("extra"),
