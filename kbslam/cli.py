@@ -224,6 +224,11 @@ def main(argv=None):
             ap.error("--dense-icp runs on the per-frame path only "
                      "(rescue must intervene on the frame that failed; "
                      "chunked tracking has already committed the chunk)")
+        if args.dense_submaps:
+            ap.error("--dense-icp requires the monolithic volume "
+                     "(drop --dense-submaps): frame-to-model alignment "
+                     "needs one fixed-frame SDF to differentiate "
+                     "against")
         cfg = cfg.replace(dense_icp=dataclasses.replace(
             cfg.dense_icp, mode=args.dense_icp))
     if args.chunk:
@@ -409,8 +414,10 @@ def _run_chunked(args, cfg, K, frames, dist):
     view_every = args.viewer_every or args.chunk
     frame_buf = {}  # frame index -> (rgb, depth, mask) for viewer readout
     traj = []
+    last_dense = -10**9  # frame of the last dense viewer extraction
 
     def _view(drained):
+        nonlocal last_dense
         for r in drained:
             traj.append(r["pose_t"])
             if viewer is not None and r["frame"] % view_every == 0:
@@ -418,8 +425,16 @@ def _run_chunked(args, cfg, K, frames, dist):
                 m = cs.state.map
                 viewer.update(np.stack(traj), map_keyframe_positions(m),
                               map_point_positions(m), rgb_v, dep_v, msk_v)
-            if viewer is not None and args.dense and r["added_kf"]:
+            # dense preview follows the keyframe cadence like the
+            # per-frame path, but throttled to one extraction per
+            # view_every frames: dense_surface() host-syncs the live
+            # (possibly still-computing) carry — a hard barrier on the
+            # in-flight chunk the double-buffered executor exists to
+            # avoid — and re-extracts every submap slot
+            if (viewer is not None and args.dense and r["added_kf"]
+                    and r["frame"] - last_dense >= view_every):
                 viewer.update_dense(cs.dense_surface()[0])
+                last_dense = r["frame"]
         for r in drained:
             frame_buf.pop(r["frame"], None)
 
@@ -482,17 +497,7 @@ def _run_chunked(args, cfg, K, frames, dist):
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
-            if cs.atlas is not None:
-                from kbslam.mapping.submap import (anchor_poses_now,
-                                                   atlas_mesh)
-
-                mesh = atlas_mesh(cs.atlas, cfg.dense,
-                                  anchor_poses_now(cs.atlas, cs.state.map))
-            else:
-                from kbslam.mapping.mesh import marching_tetrahedra
-
-                mesh = marching_tetrahedra(cs.tsdf, cfg.dense)
-            _export_mesh(mesh, args.save_mesh, summary, viewer)
+            _export_mesh(cs.dense_mesh(), args.save_mesh, summary, viewer)
     if args.eval and len(gts) == n and n > 1:
         from kbslam.eval.trajectory import ate_rmse, rpe
 

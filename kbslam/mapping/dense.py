@@ -156,6 +156,55 @@ def make_integrate(cfg: DenseMapConfig, intr: Intrinsics,
     return jax.jit(fuse)
 
 
+def shard_tsdf(state: TSDFState, mesh, axis: str = "vox") -> TSDFState:
+    """Lay the volume out with its leading (x) voxel axis sharded over
+    ``mesh``'s ``axis`` — each device owns an [nx/D, ny, nz] slab in its
+    own HBM, lifting the volume-size ceiling from one chip's memory to
+    the pod slice's."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nx = state.tsdf.shape[0]
+    d = mesh.shape[axis]
+    if nx % d != 0:
+        raise ValueError(f"dims[0]={nx} not divisible by the {d}-device "
+                         f"mesh axis {axis!r}")
+    sh = NamedSharding(mesh, P(axis))
+    return TSDFState(tsdf=jax.device_put(state.tsdf, sh),
+                     weight=jax.device_put(state.weight, sh))
+
+
+@functools.lru_cache(maxsize=8)
+def make_sharded_integrate(cfg: DenseMapConfig, intr: Intrinsics, mesh,
+                           axis: str = "vox", depth_scale: float = 1.0):
+    """Multi-chip fusion: the SAME integrate() program jitted with the
+    volume's x-axis sharded over the mesh and the depth image/pose
+    replicated. Projective TSDF has no cross-voxel dependency — every
+    voxel transforms, projects, and gathers from its device's REPLICATED
+    depth copy independently — so the SPMD partition is collective-free
+    (the one gather indexes a replicated operand) and bit-identical to
+    the single-device program: ICI carries nothing during fusion. The
+    scale lever is volume size: a 512^3 f32 pair is ~1 GB, past a
+    single v5e chip's comfortable budget but an easy 8-way slab split.
+    Call as f(state, depth_raw, pose_q, pose_t) like make_integrate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if cfg.dims[0] % mesh.shape[axis] != 0:
+        raise ValueError(f"dims[0]={cfg.dims[0]} not divisible by the "
+                         f"{mesh.shape[axis]}-device mesh axis {axis!r}")
+    vol = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def fuse(s, d, q, t):
+        with jax.default_matmul_precision("highest"):
+            return integrate(s, d.astype(jnp.float32) * depth_scale,
+                             SE3(q, t), intr, cfg)
+
+    return jax.jit(fuse,
+                   in_shardings=(TSDFState(tsdf=vol, weight=vol),
+                                 rep, rep, rep),
+                   out_shardings=TSDFState(tsdf=vol, weight=vol))
+
+
 @functools.lru_cache(maxsize=8)
 def _make_integrate_scan(cfg: DenseMapConfig, intr: Intrinsics):
     def run(s, depths, qs, ts):

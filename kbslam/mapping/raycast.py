@@ -91,6 +91,9 @@ def raycast(state: TSDFState, pose: SE3, intr: Intrinsics,
 
     X = o + ts[:, None, None] * d_world[None]          # [S, R, 3]
     s, _ = _sample(tsdf_flat, weight_flat, cfg, X)     # [S, R]
+    # house rule (CLAUDE.md gotcha #6): don't fuse a big gather
+    # producer into any/argmax reductions — materialize it first
+    s = jax.lax.optimization_barrier(s)
 
     # first +→− transition along each ray
     cross = (s[:-1] > 0) & (s[1:] <= 0)                # [S-1, R]
@@ -145,9 +148,17 @@ def render_consistency(state: TSDFState, pose: SE3, depth_obs,
                        t_max: float = 12.0) -> dict:
     """Rendered-vs-observed depth agreement at one pose (map-quality
     metric; host-side convenience, not hot). ``depth_obs`` is [H, W]
-    metric depth. Returns median/p90 absolute depth error over pixels
-    where both the render hit and the sensor returned valid depth,
-    plus the coverage fraction."""
+    metric depth in the SENSOR's (distorted, when the camera has a
+    distortion model) pixel space. Returns median/p90 absolute depth
+    error over pixels where both the render hit and the sensor
+    returned valid depth, plus the coverage fraction.
+
+    The render lives in undistorted pixel space (raycast docstring);
+    with a distorted camera the same pixel index points along different
+    rays toward the image edges, so the observation is resampled at the
+    forward-distorted coordinates of each rendered pixel (depth == z is
+    invariant to the pixel warp — only the lookup position moves),
+    matching how dense.integrate reads distorted-space depth."""
     import numpy as np
 
     H, W = depth_obs.shape
@@ -156,6 +167,19 @@ def render_consistency(state: TSDFState, pose: SE3, depth_obs,
     dr = np.asarray(r.depth)
     ob = np.asarray(depth_obs)
     hit = np.asarray(r.hit)
+    if intr.has_distortion:
+        from kbslam.geom.camera import distort_points
+
+        uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        uvd = np.asarray(distort_points(
+            intr, jnp.asarray(np.stack([uu, vv], axis=-1))))
+        ui = np.round(uvd[..., 0]).astype(np.int64)
+        vi = np.round(uvd[..., 1]).astype(np.int64)
+        inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        ob = np.where(inb, ob[np.clip(vi, 0, H - 1),
+                              np.clip(ui, 0, W - 1)], 0.0)
+        hit = hit & inb
     valid = hit & (ob > cfg.min_depth) & (ob < cfg.max_depth)
     if not valid.any():
         return {"median_err_m": float("nan"), "p90_err_m": float("nan"),

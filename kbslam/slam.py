@@ -314,7 +314,13 @@ class SLAM:
             # fuse against the anchor's CURRENT ring pose — the frame
             # pose lives in the current (corrected) gauge, and mixing
             # gauges double-applies corrections at extraction
-            # (integrate_active docstring)
+            # (integrate_active docstring). Ordering within this tick
+            # keeps the pair in one gauge: the loop tick (the only
+            # RIGID gauge change) runs AFTER fusion, and the async-BA
+            # merge above is not a gauge change — the window's newest
+            # snapshot keyframe is held constant (ba/merge.py), o.pose
+            # chains through it, so the post-merge anchor pose is
+            # simply the best same-gauge estimate at fusion time.
             aq, at = self._anchor_pose_now()
             self.atlas = self._submap_fuse(self.atlas, args[2], q, t,
                                            aq, at)

@@ -181,6 +181,11 @@ class ChunkedStream:
                 self._active_anchor_kid = -1
                 self._submaps_opened = 0
                 self._kf_cap = int(state.map.kf_id.shape[0])
+                # the liveness bound counts possible in-flight
+                # INSERTIONS, not frames: the device step only inserts
+                # via the policy (reloc is host-side, per-frame shell
+                # only), so insertions are >= min_frame_gap apart
+                self._min_frame_gap = max(1, int(cfg.policy.min_frame_gap))
             else:
                 from kbslam.mapping.dense import empty_tsdf, make_integrate
 
@@ -243,8 +248,13 @@ class ChunkedStream:
                                                         kid)
                         self._active_anchor_kid = kid
                         self._submaps_opened += 1
-                    aq, at = self._anchor_pose_now()
-                    self.atlas = self._submap_fuse(self.atlas, d, q, t,
+                    # BOTH fusion poses come from the live ring when the
+                    # slots are provably live (one gauge — a loop/pose-
+                    # graph correction that merged while this chunk was
+                    # in flight rewrote the whole ring, including this
+                    # keyframe's slot; the drained pose predates it)
+                    q2, t2, aq, at = self._fusion_poses_now(kid, q, t)
+                    self.atlas = self._submap_fuse(self.atlas, d, q2, t2,
                                                    aq, at)
                     self._kf_insertions += 1
                     self._next_kf_id += 1
@@ -254,24 +264,45 @@ class ChunkedStream:
             self._frame += 1
         return added
 
-    def _anchor_pose_now(self):
-        """(q, t) of the ACTIVE submap anchor's current ring pose, as
-        LAZY device slices of the live (possibly still-computing) state
-        — fusion must use the anchor pose in the same gauge as the
-        frame pose (integrate_active docstring) and must not host-sync
-        the in-flight chunk. The liveness check is conservative and
-        host-only: the ring slot for global id ``kid`` is overwritten
-        by insertion ``kid + cap``, and at most (fed − drained) frames'
-        insertions can be in flight beyond the drained count; when the
-        slot COULD have been reallocated, fall back to the atlas's
-        stored anchor pose (the per-frame shell's fallback)."""
-        kid = self._active_anchor_kid
-        inflight = self._fed - self._frame
-        if kid >= 0 and self._next_kf_id + inflight <= kid + self._kf_cap:
+    def _fusion_poses_now(self, kid, q_drained, t_drained):
+        """(frame_q, frame_t, anchor_q, anchor_t) for fusing drained
+        keyframe ``kid`` into the active submap, all four as LAZY device
+        slices of the live (possibly still-computing) state — never a
+        host sync of the in-flight chunk.
+
+        Gauge rule (integrate_active docstring): the frame pose and the
+        anchor pose must live in the SAME gauge. A loop/pose-graph
+        correction that merged into the carry while this chunk was in
+        flight rewrote EVERY ring pose (pose_graph carries the whole
+        ring rigidly), so the drained per-frame pose predates the
+        correction while the anchor's ring pose follows it — slicing
+        BOTH poses from the live ring at the same instant keeps the
+        pair consistent. (Async local-BA merges are NOT gauge changes —
+        the window's newest keyframe is held constant, ba/merge.py — so
+        for them the ring pair is simply the best current estimate.)
+
+        The liveness check is conservative and host-only: the ring slot
+        for global id ``a`` is overwritten by insertion ``a + cap``.
+        The device step inserts only via the policy (>= min_frame_gap
+        frames apart; relocalization is host-side and per-frame-shell
+        only), so the remaining (fed − drained − 1) in-flight frames
+        can add at most floor(R/gap) insertions beyond ``kid``. When
+        the ANCHOR's slot could have been reallocated (kid >= anchor,
+        so the anchor bound covers both slots), fall back to the
+        drained pose + the atlas's stored anchor pose — one (frozen)
+        gauge, matching the per-frame shell's fallback."""
+        anchor_kid = self._active_anchor_kid
+        remaining = max(0, self._fed - self._frame - 1)
+        extra = remaining // self._min_frame_gap
+        if (anchor_kid >= 0
+                and kid + extra < anchor_kid + self._kf_cap):
             m = self.state.map
-            return m.kf_q[kid % self._kf_cap], m.kf_t[kid % self._kf_cap]
+            cap = self._kf_cap
+            return (m.kf_q[kid % cap], m.kf_t[kid % cap],
+                    m.kf_q[anchor_kid % cap], m.kf_t[anchor_kid % cap])
         slot = (self._submaps_opened - 1) % self.atlas.capacity
-        return self.atlas.anchor_q[slot], self.atlas.anchor_t[slot]
+        return (q_drained, t_drained,
+                self.atlas.anchor_q[slot], self.atlas.anchor_t[slot])
 
     def dense_surface(self) -> tuple:
         """Zero-crossing point cloud of the dense model (requires
@@ -292,6 +323,23 @@ class ChunkedStream:
         from kbslam.mapping.dense import surface_points
 
         return surface_points(self.tsdf, self._dense_cfg)
+
+    def dense_mesh(self):
+        """TSDF zero-isosurface as a TriangleMesh; mirrors
+        SLAM.dense_mesh (monolithic: one welded mesh; atlas: per-submap
+        meshes re-posed by their anchors' CURRENT ring poses). Host-
+        side, extraction-time only — syncs the live state."""
+        if self.atlas is not None:
+            from kbslam.mapping.submap import anchor_poses_now, atlas_mesh
+
+            return atlas_mesh(self.atlas, self._dense_cfg,
+                              anchor_poses_now(self.atlas, self.state.map))
+        if self.tsdf is None:
+            raise RuntimeError("dense mapping disabled "
+                               "(SLAMConfig.dense.enabled)")
+        from kbslam.mapping.mesh import marching_tetrahedra
+
+        return marching_tetrahedra(self.tsdf, self._dense_cfg)
 
     def _record_ba_stats(self, s):
         """Append one solve's stats; ``s`` must already be host-side

@@ -246,3 +246,28 @@ def test_icp_rescue_does_not_mask_loss_from_reloc_counter():
     assert max(streaks[black[0]:black[-1] + 1]) >= 4, streaks
     # and PnP re-acquiring after the blackout clears it
     assert streaks[-1] == 0, streaks
+
+
+def test_cli_rejects_dense_icp_with_submaps():
+    """--dense-icp needs the monolithic volume; combined with
+    --dense-submaps the CLI must fail with a usage error (ap.error),
+    not a raw constructor traceback."""
+    import sys
+    from io import StringIO
+
+    import pytest
+
+    from kbslam.cli import main
+
+    old_out, old_err = sys.stdout, sys.stderr
+    with pytest.raises(SystemExit) as ei:
+        sys.stdout, sys.stderr = StringIO(), StringIO()
+        try:
+            main(["--source", "synthetic", "--frames", "4",
+                  "--dense", "--dense-submaps", "2",
+                  "--dense-icp", "rescue"])
+        finally:
+            err = sys.stderr.getvalue()
+            sys.stdout, sys.stderr = old_out, old_err
+    assert ei.value.code == 2  # argparse usage error, not a traceback
+    assert "monolithic" in err

@@ -152,3 +152,56 @@ def test_deferred_insertion_scan_tracks_like_immediate():
     assert ok_d >= ok_i - 0.15, (ok_d, ok_i)
     assert ninl_d[2:].mean() >= 0.7 * ninl_i[2:].mean(), (
         ninl_d[2:].mean(), ninl_i[2:].mean())
+
+
+def test_sharded_dense_fusion_matches_single_device():
+    """mapping/dense.make_sharded_integrate: voxel-slab sharding over
+    the mesh must be BIT-identical to the single-device program —
+    projective TSDF has no cross-voxel dependency, so the SPMD
+    partition is collective-free (each device gathers from its
+    replicated depth copy). Also pins the collective-free claim by
+    scanning the compiled HLO."""
+    from kbslam.config import DenseMapConfig
+    from kbslam.geom.se3 import SE3
+    from kbslam.mapping.dense import (empty_tsdf, make_integrate,
+                                      make_sharded_integrate, shard_tsdf)
+
+    seq = render_sequence(num_frames=3, height=120, width=160)
+    intr = Intrinsics.from_matrix(seq.K)
+    cfg = DenseMapConfig(dims=(48, 24, 16), voxel_size=0.17,
+                         origin=(-4.08, -2.04, -1.36))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("vox",))
+    fuse1 = make_integrate(cfg, intr, depth_scale=0.001)
+    fuse8 = make_sharded_integrate(cfg, intr, mesh, depth_scale=0.001)
+
+    s1 = empty_tsdf(cfg)
+    s8 = shard_tsdf(empty_tsdf(cfg), mesh)
+    for i in range(3):
+        T = SE3.from_matrix(jnp.asarray(seq.poses[i], jnp.float32))
+        d = jnp.asarray(seq.depth[i])
+        s1 = fuse1(s1, d, T.q, T.t)
+        s8 = fuse8(s8, d, T.q, T.t)
+
+    np.testing.assert_array_equal(np.asarray(s8.tsdf), np.asarray(s1.tsdf))
+    np.testing.assert_array_equal(np.asarray(s8.weight),
+                                  np.asarray(s1.weight))
+    assert (np.asarray(s1.weight) > 0).sum() > 100  # fused something
+
+    # collective-free: fusion moves nothing over ICI
+    T = SE3.from_matrix(jnp.asarray(seq.poses[0], jnp.float32))
+    hlo = fuse8.lower(s8, jnp.asarray(seq.depth[0]), T.q,
+                      T.t).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, op
+
+    # indivisible volumes are a loud error, not silent misplacement
+    bad = DenseMapConfig(dims=(42, 24, 16), voxel_size=0.17,
+                         origin=(-4.08, -2.04, -1.36))
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard_tsdf(empty_tsdf(bad), mesh)
+    with pytest.raises(ValueError):
+        make_sharded_integrate(bad, intr, mesh, depth_scale=0.001)

@@ -92,6 +92,62 @@ def test_raycast_miss_semantics():
     assert np.all(np.asarray(r.normal) == 0.0)
 
 
+def test_render_consistency_distorted_camera():
+    """With a distorted camera the render lives in undistorted pixel
+    space while the sensor depth lives in distorted pixel space —
+    render_consistency must resample the observation at the forward-
+    distorted coordinates (depth == z is warp-invariant). Build the
+    analytic sphere, synthesize the distorted-space observation (per
+    distorted pixel: z of the sphere along the ray through its
+    UNDISTORTED normalized coords), and check the metric is sub-voxel
+    while the naive same-index comparison (the pre-fix behavior) is
+    measurably worse."""
+    from kbslam.geom.camera import undistort_points
+
+    cfg = DenseMapConfig(dims=(48, 48, 48), voxel_size=0.05,
+                         origin=(-1.2, -1.2, -1.2), truncation=0.15)
+    R = 0.8
+    st = _sphere_state(cfg, (0, 0, 0), R)
+    H, W = 120, 160
+    intr = Intrinsics.create(fx=100.0, fy=100.0, cx=79.5, cy=59.5,
+                             dist=(-0.25, 0.06, 0.0, 0.0, 0.0))
+    o = np.array([0.0, 0.0, -2.0])
+    pose = SE3(jnp.array([1.0, 0, 0, 0], jnp.float32),
+               jnp.asarray(o, jnp.float32))
+
+    def sphere_z(xn, yn):
+        a = xn**2 + yn**2 + 1.0
+        b = 2.0 * (xn * o[0] + yn * o[1] + o[2])
+        c = (o * o).sum() - R * R
+        disc = b * b - 4 * a * c
+        return np.where(disc > 0,
+                        (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
+
+    # distorted-space observation: each distorted pixel sees the ray of
+    # its undistorted coordinates
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+    uv_u = np.asarray(undistort_points(
+        intr, jnp.asarray(np.stack([gx, gy], axis=-1))))
+    ob = sphere_z((uv_u[..., 0] - intr.cx) / intr.fx,
+                  (uv_u[..., 1] - intr.cy) / intr.fy).astype(np.float32)
+
+    m = render_consistency(st, pose, ob, intr, cfg, t_max=4.0)
+    assert m["coverage"] > 0.1, m
+    assert m["median_err_m"] < 0.5 * cfg.voxel_size, m
+    assert m["p90_err_m"] < 1.5 * cfg.voxel_size, m
+
+    # naive same-pixel-index comparison: systematically worse (the warp
+    # reaches several pixels at this k1, and depth varies across them)
+    f = make_raycast(cfg, intr, H, W, t_max=4.0)
+    r = f(st, pose.q, pose.t)
+    dr, hit = np.asarray(r.depth), np.asarray(r.hit)
+    valid = hit & (ob > cfg.min_depth) & (ob < cfg.max_depth)
+    naive_p90 = np.percentile(np.abs(dr[valid] - ob[valid]), 90)
+    # measured: naive 0.077 vs warped 0.039 at this k1 (the gap lives at
+    # the edges where the warp reaches several pixels)
+    assert naive_p90 > 1.5 * m["p90_err_m"], (naive_p90, m)
+
+
 def test_render_consistency_on_fused_plane():
     """Fuse the synthetic plane with GT poses, then render from a GT
     pose: the volume must explain the observed depth to sub-voxel

@@ -414,13 +414,71 @@ def test_cli_chunked_submaps_roundtrip(tmp_path):
     assert s2["tsdf_submaps"] >= s1["tsdf_submaps"]
 
 
+def test_fusion_poses_live_ring_gauge_and_insertion_bound():
+    """streaming._fusion_poses_now pins three behaviors: (a) on the
+    live path BOTH the frame pose and the anchor pose are sliced from
+    the live ring at the same instant — one gauge, so a loop/pose-graph
+    correction that merged while the chunk was in flight (rewriting the
+    whole ring) reaches both poses, never only the anchor; (b) the
+    liveness bound counts possible in-flight INSERTIONS (the device
+    step inserts only via the >= min_frame_gap policy), not raw frames,
+    so realistic chunk sizes keep the gauge-following path engaged —
+    the frame-counting bound disabled it for chunk >= ~32; (c) a
+    possible ring wrap falls back to the drained frame pose + the
+    stored anchor pose (one frozen gauge)."""
+    from types import SimpleNamespace
+
+    from kbslam.streaming import ChunkedStream
+
+    cap = 64
+    kf_q = np.arange(cap * 4, dtype=np.float32).reshape(cap, 4)
+    kf_t = np.arange(cap * 3, dtype=np.float32).reshape(cap, 3)
+    atlas = SimpleNamespace(capacity=2,
+                            anchor_q=-np.ones((2, 4), np.float32),
+                            anchor_t=-np.ones((2, 3), np.float32))
+
+    def make(anchor_kid, inflight, gap):
+        return SimpleNamespace(
+            _active_anchor_kid=anchor_kid, _fed=1000 + inflight,
+            _frame=1000, _min_frame_gap=gap, _kf_cap=cap,
+            state=SimpleNamespace(map=SimpleNamespace(kf_q=kf_q,
+                                                      kf_t=kf_t)),
+            atlas=atlas, _submaps_opened=1)
+
+    fpn = ChunkedStream._fusion_poses_now
+    qd = np.full(4, 99.0, np.float32)
+    td = np.full(3, 99.0, np.float32)
+
+    # (a)+(b): 64 frames in flight (chunk 32, double-buffered), gap 10
+    # -> at most 6 insertions beyond kid: live, both poses from the ring
+    q, t, aq, at = fpn(make(3, 64, 10), 5, qd, td)
+    np.testing.assert_array_equal(q, kf_q[5])
+    np.testing.assert_array_equal(t, kf_t[5])
+    np.testing.assert_array_equal(aq, kf_q[3])
+    np.testing.assert_array_equal(at, kf_t[3])
+
+    # (b) inverse: gap 1 makes every in-flight frame a possible
+    # insertion -> the same 64 frames can wrap the anchor slot: fallback
+    q, t, aq, at = fpn(make(3, 64, 1), 5, qd, td)
+    np.testing.assert_array_equal(q, qd)
+    np.testing.assert_array_equal(aq, atlas.anchor_q[0])
+
+    # (c): kid already >= anchor + cap (drained wrap): fallback
+    q, t, aq, at = fpn(make(3, 0, 10), 3 + cap, qd, td)
+    np.testing.assert_array_equal(q, qd)
+    np.testing.assert_array_equal(t, td)
+    np.testing.assert_array_equal(aq, atlas.anchor_q[0])
+    np.testing.assert_array_equal(at, atlas.anchor_t[0])
+
+
 def test_chunked_submaps_survive_kf_ring_wrap():
     """The chunked anchor-liveness check is conservative and host-only
-    (streaming._anchor_pose_now): once the keyframe ring COULD have
-    reallocated the anchor's slot, fusion falls back to the atlas's
-    stored anchor pose. With BA off the stored pose equals the ring
-    pose, so the chunked atlas must still match the per-frame one
-    exactly even when insertions wrap a tiny ring mid-submap."""
+    (streaming._fusion_poses_now): once the keyframe ring COULD have
+    reallocated the anchor's slot, fusion falls back to the drained
+    frame pose + the atlas's stored anchor pose. With BA off the stored
+    pose equals the ring pose, so the chunked atlas must still match
+    the per-frame one exactly even when insertions wrap a tiny ring
+    mid-submap."""
     from kbslam.pipeline import init_state
     from kbslam.streaming import ChunkedStream
 
