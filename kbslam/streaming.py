@@ -285,15 +285,23 @@ class ChunkedStream:
         for global id ``a`` is overwritten by insertion ``a + cap``.
         The device step inserts only via the policy (>= min_frame_gap
         frames apart; relocalization is host-side and per-frame-shell
-        only), so the remaining (fed − drained − 1) in-flight frames
-        can add at most floor(R/gap) insertions beyond ``kid``. When
-        the ANCHOR's slot could have been reallocated (kid >= anchor,
-        so the anchor bound covers both slots), fall back to the
-        drained pose + the atlas's stored anchor pose — one (frozen)
-        gauge, matching the per-frame shell's fallback."""
+        only) EXCEPT the empty-map insertion, which bypasses the gap
+        and doesn't reset the counter (pipeline.py do_insert = empty |
+        add_kf), so the remaining (fed − drained − 1) in-flight frames
+        can add at most 1 + floor((R−1)/gap) insertions beyond ``kid``.
+        When the ANCHOR's slot could have been reallocated (kid >=
+        anchor, so the anchor bound covers both slots), fall back to
+        the drained pose + the atlas's stored anchor pose. The fallback
+        pair is gauge-consistent only when no rigid (loop/pose-graph)
+        correction merged since the submap opened — the drained pose
+        would be post-correction while the stored anchor pose is
+        creation-time; this matches the per-frame shell's documented
+        conservatism for reallocated anchors."""
         anchor_kid = self._active_anchor_kid
         remaining = max(0, self._fed - self._frame - 1)
-        extra = remaining // self._min_frame_gap
+        # 1 + floor((R-1)/gap): the empty-map insertion bypasses the
+        # policy gap (== 0 when remaining == 0 since -1//gap == -1)
+        extra = 1 + (remaining - 1) // self._min_frame_gap
         if (anchor_kid >= 0
                 and kid + extra < anchor_kid + self._kf_cap):
             m = self.state.map
