@@ -139,6 +139,39 @@ def main():
         fps_nk3 = max(fps_nk3, chunk / (time.perf_counter() - t0))
     del st3, ninl3
 
+    # --- device-resident FULL-SYSTEM FPS: tracking + concurrent local BA --
+    # The reference's main loop ALWAYS dispatches local BA on keyframe
+    # insertion, concurrent with tracking, under at-most-one-in-flight
+    # shedding (main.cpp:22-47). The headline above is tracking alone;
+    # this measures the full system on-chip: C=22-frame scan dispatches,
+    # async snapshot+solve dispatched chunk-late on insertion, merged
+    # between chunks. Two brackets (benchmarks/exp_full_system.py):
+    #   ratio_median        — merge when stats report ready (tracking
+    #                         never waits; tunnel is_ready lag -> MORE
+    #                         shedding than the reference's CPU threads,
+    #                         so an upper bound on full-system FPS);
+    #   ratio_eager_median  — merge unconditionally at the next drain
+    #                         (every insertion-chunk solves, tracking
+    #                         waits in-stream: lower bound).
+    _log("full-system FPS (tracking + concurrent BA), subprocess")
+    import subprocess
+    fs_line = {}
+    try:
+        env_fs = dict(os.environ, FS_REPS="20", FS_PAIRS="3",
+                      FS_CHUNKS="22")
+        out_fs = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__) or ".",
+                          "benchmarks", "exp_full_system.py")],
+            capture_output=True, text=True, timeout=900, env=env_fs)
+        fs_line = json.loads(
+            out_fs.stdout.strip().splitlines()[-1])["results"]["22"]
+    except Exception as e:  # must not kill the headline
+        fs_line = {"error": repr(e)}
+    _log(f"full-system: {fs_line.get('fps_with_ba')} fps shedding / "
+         f"{fs_line.get('fps_with_ba_eager')} eager "
+         f"(no-BA {fs_line.get('fps_no_ba')})")
+
     # --- host->device link bandwidth (the streaming ceiling) --------------
     # through the axon tunnel this is 20-60 MB/s and fluctuates; on a
     # locally-attached chip it is PCIe (~10 GB/s) and streaming == scan.
@@ -315,17 +348,23 @@ def main():
     state = st  # the capture loop donated the previous state's buffers
     tot_acc, (fc, acc, _sink) = ba_fresh_scan(stacked_maps)
     np.asarray(fc)
+    # best-of-8 with the spread reported: 3 reps was not enough to
+    # survive tunnel congestion (the driver-captured number swung
+    # 19.2-23.1 ms round over round while the solver was unchanged —
+    # round-4 verdict weak-spot #3); the FPS metrics already run 5
     ba_fresh_times = []
-    for _ in range(3):
+    for _ in range(8):
         t0 = time.perf_counter()
         tot_acc, (fc, acc, _sink) = ba_fresh_scan(stacked_maps)
         np.asarray(fc)  # hard barrier
         ba_fresh_times.append((time.perf_counter() - t0) / len(fresh))
     ba_fresh_ms = float(np.min(ba_fresh_times) * 1e3)
+    ba_fresh_spread = [round(float(t * 1e3), 2)
+                       for t in sorted(ba_fresh_times)]
     accepted_fresh = [int(a) for a in np.asarray(acc)]
     assert sum(accepted_fresh) > 0, "fresh-window bench measured no accepts"
-    _log(f"ba fresh: {ba_fresh_ms:.2f} ms/solve over {len(fresh)} windows, "
-         f"accepted per solve {accepted_fresh}")
+    _log(f"ba fresh: {ba_fresh_ms:.2f} ms/solve over {len(fresh)} windows "
+         f"(spread {ba_fresh_spread}), accepted per solve {accepted_fresh}")
 
     # (b) converged re-solve: K solves of the SAME already-optimized map
     # chained in one dispatch — the cheapest path (all LM steps reject and
@@ -560,6 +599,13 @@ def main():
             "headline_config": "track_keyframes=1 (reference parity, "
                                "the default since round 4)",
             "tracked_fps_nk3_bank": round(fps_nk3, 1),
+            "tracked_fps_with_ba_device": fs_line.get("fps_with_ba"),
+            "tracked_fps_with_ba_device_eager":
+                fs_line.get("fps_with_ba_eager"),
+            "full_system_ba_ratio_paired": fs_line.get("ratio_median"),
+            "full_system_ba_ratio_eager": fs_line.get(
+                "ratio_eager_median"),
+            "full_system_detail": fs_line,
             "multistream_fps_8x": round(max(ms_fps, ms_fps_d), 1),
             "multistream_fps_8x_immediate": round(ms_fps, 1),
             "multistream_fps_8x_deferred_insert": round(ms_fps_d, 1),
@@ -569,6 +615,7 @@ def main():
             "streaming_async_ba_ratio_paired": round(stream_ba_ratio, 3),
             "streaming_ba_runs": stream_ba_runs,
             "local_ba_ms_fresh": round(ba_fresh_ms, 2),
+            "local_ba_ms_fresh_spread": ba_fresh_spread,
             "local_ba_accepted_fresh": accepted_fresh,
             "local_ba_ms_resolve_converged": round(ba_ms, 2),
             "loop_probe_ms_per_kf_insertion": loop_probe_ms,

@@ -98,7 +98,12 @@ def main(argv=None):
                     help="frame-to-model dense tracking against the TSDF "
                     "(requires --dense, per-frame path only): 'rescue' "
                     "re-acquires the pose from geometry when PnP fails; "
-                    "'refine' additionally polishes successful poses")
+                    "'refine' additionally polishes successful poses. "
+                    "With --dense-submaps the model is the newest "
+                    "submaps re-posed by their BA/loop-corrected "
+                    "anchors, and 'refine' accepts only against submaps "
+                    "the current tracking did not build (independent-"
+                    "evidence gate)")
     ap.add_argument("--dist", default=None,
                     help="comma-separated k1,k2,p1,p2,k3 lens distortion "
                     "(reference DistCoeffs; zmq handshake value used if unset)")
@@ -224,11 +229,6 @@ def main(argv=None):
             ap.error("--dense-icp runs on the per-frame path only "
                      "(rescue must intervene on the frame that failed; "
                      "chunked tracking has already committed the chunk)")
-        if args.dense_submaps:
-            ap.error("--dense-icp requires the monolithic volume "
-                     "(drop --dense-submaps): frame-to-model alignment "
-                     "needs one fixed-frame SDF to differentiate "
-                     "against")
         cfg = cfg.replace(dense_icp=dataclasses.replace(
             cfg.dense_icp, mode=args.dense_icp))
     if args.chunk:

@@ -279,6 +279,17 @@ class DenseIcpConfig:
     # host-side acceptance gates on the returned stats
     min_points: int = 300        # live trilinear samples required
     accept_rmse_m: float = 0.08  # post-solve robust SDF RMSE ceiling
+    # With the submap atlas (dense.submap_every > 0): align against the
+    # newest ``atlas_slots`` live submaps, each re-posed by its anchor
+    # keyframe's CURRENT ring pose (mapping/icp.align_depth_to_atlas).
+    # Cost scales linearly ([P,8] corner gather per slot). In "refine"
+    # mode the ACTIVE submap is excluded from this window: the refined
+    # pose must be supported by geometry whose poses are not correlated
+    # with the most recent (drift-accumulating) tracking — the
+    # independent-evidence gate exp_icp_ate.py's monolithic refine mode
+    # lacks (volume built from tracked poses -> frame-to-model drift
+    # reinforcement, one measured 3.4x ATE regression).
+    atlas_slots: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

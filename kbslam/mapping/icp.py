@@ -53,7 +53,7 @@ import jax.numpy as jnp
 
 from kbslam.config import DenseIcpConfig, DenseMapConfig
 from kbslam.geom.camera import Intrinsics, undistort_points
-from kbslam.geom.se3 import SE3, quat_rotate
+from kbslam.geom.se3 import SE3, quat_rotate, quat_to_matrix
 from kbslam.mapping.dense import TSDFState
 
 
@@ -149,12 +149,13 @@ def _frame_points(depth_m, intr: Intrinsics, cfg: DenseMapConfig,
     return p, ok
 
 
-def _residuals(packed_flat, cfg, icp, p_cam, p_ok, q, t):
+def _residuals(sdf_fn, cfg, icp, p_cam, p_ok, q, t):
     """One trilinear fetch at a pose -> masked residuals + weights.
-    Returns (X [P,3], r [P] metres, g [P,3], valid [P], wv [P],
-    n i32, rmse f32)."""
+    ``sdf_fn(X_world) -> (phi, grad_world, valid)`` abstracts the model
+    (monolithic volume or submap atlas). Returns (X [P,3], r [P]
+    metres, g [P,3], valid [P], wv [P], n i32, rmse f32)."""
     X = quat_rotate(q, p_cam) + t                             # [P,3]
-    phi, grad, valid = _trilinear_sdf(packed_flat, cfg, X)
+    phi, grad, valid = sdf_fn(X)
     # clamped cells (|tsdf| ~ 1) have zero gradient — drop them so
     # they cannot bias the Huber scale estimate either
     valid = valid & p_ok & (jnp.abs(phi) < 0.999)
@@ -167,23 +168,21 @@ def _residuals(packed_flat, cfg, icp, p_cam, p_ok, q, t):
     return X, r, g, valid, wv, n, rmse
 
 
-def align_depth_to_tsdf(state: TSDFState, depth_m, q0, t0,
-                        intr: Intrinsics, cfg: DenseMapConfig,
-                        icp: DenseIcpConfig) -> IcpResult:
-    """Gauss-Newton alignment of one metric depth image to the volume,
+def _gn_align(sdf_fn, p_cam, p_ok, q0, t0, cfg: DenseMapConfig,
+              icp: DenseIcpConfig) -> IcpResult:
+    """Gauss-Newton alignment of back-projected points to an SDF model,
     starting from camera-to-world (q0, t0). Fixed icp.iters trips; each
     trip is one trilinear fetch + one 6x6 damped normal-equation solve.
     The initial stats fall out of trip 0's residuals (no extra fetch);
     one post-loop fetch evaluates the final pose — iters+1 fetches
     total, and the [P,8] corner gather is the measured cost center.
+    Shared by the monolithic-volume and submap-atlas solvers.
     """
-    packed_flat = pack_volume(state)
-    p_cam, p_ok = _frame_points(depth_m, intr, cfg, icp.stride)
 
     def body(k, carry):
         q, t, n0, rmse0 = carry
         X, r, g, valid, wv, n, rmse = _residuals(
-            packed_flat, cfg, icp, p_cam, p_ok, q, t)
+            sdf_fn, cfg, icp, p_cam, p_ok, q, t)
         first = k == 0
         n0 = jnp.where(first, n, n0)
         rmse0 = jnp.where(first, rmse, rmse0)
@@ -206,9 +205,76 @@ def align_depth_to_tsdf(state: TSDFState, depth_m, q0, t0,
     q, t, n0, rmse0 = jax.lax.fori_loop(
         0, icp.iters, body, (q0, t0, jnp.int32(0), jnp.float32(0.0)))
     _, _, _, _, _, n1, rmse1 = _residuals(
-        packed_flat, cfg, icp, p_cam, p_ok, q, t)
+        sdf_fn, cfg, icp, p_cam, p_ok, q, t)
     return IcpResult(q=q, t=t, num_valid=jnp.minimum(n0, n1),
                      rmse_init=rmse0, rmse=rmse1)
+
+
+def align_depth_to_tsdf(state: TSDFState, depth_m, q0, t0,
+                        intr: Intrinsics, cfg: DenseMapConfig,
+                        icp: DenseIcpConfig) -> IcpResult:
+    """GN alignment of one metric depth image to the monolithic volume
+    (see _gn_align)."""
+    packed_flat = pack_volume(state)
+    p_cam, p_ok = _frame_points(depth_m, intr, cfg, icp.stride)
+    sdf_fn = functools.partial(_trilinear_sdf, packed_flat, cfg)
+    return _gn_align(sdf_fn, p_cam, p_ok, q0, t0, cfg, icp)
+
+
+def align_depth_to_atlas(atlas, slots, anchor_q, anchor_t, depth_m,
+                         q0, t0, intr: Intrinsics, cfg: DenseMapConfig,
+                         icp: DenseIcpConfig) -> IcpResult:
+    """GN alignment of one metric depth image to K submaps of a
+    SubmapAtlas (mapping/submap.py), each re-posed by its anchor
+    keyframe's CURRENT ring pose — the composition the monolithic
+    solver cannot offer: recovery keeps working in exactly the drifty
+    regime submaps exist for, because the model geometry follows
+    BA/loop corrections through the anchors.
+
+      slots     [K] i32 — atlas ring slots, NEWEST FIRST (duplicates
+                are harmless: per-point selection takes the first
+                valid slot, and duplicates carry identical values —
+                the host pads short windows by repeating a slot);
+      anchor_q  [K,4], anchor_t [K,3] — each slot's anchor pose NOW
+                (current ring pose; frozen creation pose fallback).
+
+    Per GN trip: one [P,8] corner gather PER SLOT (points transformed
+    into each slot's local anchor frame), then a per-point newest-
+    valid-wins select — overlapping submaps are slightly inconsistent
+    rigid bodies (the documented seam price), so summing their normal
+    equations would average disagreeing gradients; selection keeps
+    each point's residual internally consistent. Local gradients map
+    to world through the anchor rotation (X_l = Rᵀ(X_w − t) ⇒
+    ∇_w = R ∇_l). Cost scales linearly in K (the corner gather is the
+    measured cost center of the monolithic solve)."""
+    shp = (1,) + atlas.tsdf.shape[1:]
+
+    def pack_slot(s):
+        tv = jax.lax.dynamic_slice(atlas.tsdf, (s, 0, 0, 0), shp)[0]
+        wv = jax.lax.dynamic_slice(atlas.weight, (s, 0, 0, 0), shp)[0]
+        return jnp.where(wv > 0, tv, _SENTINEL).reshape(-1)
+
+    packed = jax.vmap(pack_slot)(slots)                       # [K, V]
+    R = jax.vmap(quat_to_matrix)(anchor_q)                    # [K,3,3]
+    p_cam, p_ok = _frame_points(depth_m, intr, cfg, icp.stride)
+
+    def sdf_fn(X):                                            # [P,3] world
+        def per_slot(pk, Rk, tk):
+            Xl = (X - tk) @ Rk                                # Rᵀ(X−t) rows
+            phi, g, valid = _trilinear_sdf(pk, cfg, Xl)
+            return phi, g @ Rk.T, valid                       # ∇ to world
+        phis, gws, valids = jax.vmap(per_slot)(packed, R, anchor_t)
+        # house rule (CLAUDE.md gotcha #6): don't fuse the gather
+        # producers into the argmax selection
+        valids = jax.lax.optimization_barrier(valids)
+        idx = jnp.argmax(valids, axis=0)                      # first valid
+        sel = (jax.lax.broadcasted_iota(jnp.int32, valids.shape, 0)
+               == idx[None]) & valids
+        phi = jnp.where(sel, phis, 0.0).sum(axis=0)
+        gw = jnp.where(sel[:, :, None], gws, 0.0).sum(axis=0)
+        return phi, gw, valids.any(axis=0)
+
+    return _gn_align(sdf_fn, p_cam, p_ok, q0, t0, cfg, icp)
 
 
 @functools.lru_cache(maxsize=8)
@@ -225,6 +291,25 @@ def make_icp(cfg: DenseMapConfig, icp: DenseIcpConfig, intr: Intrinsics,
         with jax.default_matmul_precision("highest"):
             return align_depth_to_tsdf(
                 state, depth_raw.astype(jnp.float32) * depth_scale,
+                q, t, intr, cfg, icp)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def make_icp_atlas(cfg: DenseMapConfig, icp: DenseIcpConfig,
+                   intr: Intrinsics, depth_scale: float = 1.0):
+    """lru_cached jit factory for the submap-atlas solver. Call as
+    f(atlas, slots [K] i32, anchor_q [K,4], anchor_t [K,3], depth_raw,
+    q, t) — slots newest first, each anchor pose its CURRENT ring pose
+    (kbslam.mapping.submap.recent_slots_with_poses builds the triple).
+    K is static per compilation (one trace per window size)."""
+
+    def run(atlas, slots, aq, at, depth_raw, q, t):
+        with jax.default_matmul_precision("highest"):
+            return align_depth_to_atlas(
+                atlas, slots, aq, at,
+                depth_raw.astype(jnp.float32) * depth_scale,
                 q, t, intr, cfg, icp)
 
     return jax.jit(run)

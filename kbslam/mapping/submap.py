@@ -190,6 +190,51 @@ def anchor_poses_now(atlas: SubmapAtlas, map_state) -> dict:
     return poses
 
 
+def recent_slots_with_poses(atlas: SubmapAtlas, map_state, k: int,
+                            exclude_active: bool = False):
+    """Host-side: the newest (up to) ``k`` live submap slots, NEWEST
+    FIRST, each with its anchor keyframe's CURRENT ring pose (frozen
+    creation pose when the ring slot was since reallocated — the same
+    fallback as extraction). Pads short windows by repeating the last
+    entry (duplicates are harmless to align_depth_to_atlas's first-
+    valid-wins selection). Returns (slots [k] i32, anchor_q [k,4] f32,
+    anchor_t [k,3] f32) as numpy, or None when no slot qualifies
+    (empty atlas, or exclude_active with a single live submap).
+
+    ``exclude_active`` drops the newest (actively fused) submap — the
+    independent-evidence window for ICP "refine": older submaps'
+    geometry was fused under poses not correlated with the most recent
+    drift, and their anchors have felt BA/loop corrections."""
+    slots = live_slots(atlas)[::-1]          # newest first
+    if exclude_active and len(slots):
+        slots = slots[1:]
+    if not len(slots):
+        return None
+    slots = slots[:k]
+    ring_ids = np.asarray(map_state.kf_id)
+    cap = ring_ids.shape[0]
+    qs, ts = np.asarray(map_state.kf_q), np.asarray(map_state.kf_t)
+    ids = np.asarray(atlas.anchor_kf_id)
+    aq = np.asarray(atlas.anchor_q).copy()
+    at = np.asarray(atlas.anchor_t).copy()
+    out_q, out_t = [], []
+    for s in slots:
+        kid = int(ids[s])
+        if kid >= 0 and ring_ids[kid % cap] == kid:
+            out_q.append(qs[kid % cap])
+            out_t.append(ts[kid % cap])
+        else:
+            out_q.append(aq[s])
+            out_t.append(at[s])
+    while len(out_q) < k:                    # pad by repetition
+        slots = np.append(slots, slots[-1])
+        out_q.append(out_q[-1])
+        out_t.append(out_t[-1])
+    return (np.asarray(slots[:k], np.int32),
+            np.stack(out_q).astype(np.float32),
+            np.stack(out_t).astype(np.float32))
+
+
 def atlas_mesh(atlas: SubmapAtlas, cfg: DenseMapConfig,
                anchor_poses: Optional[dict] = None):
     """Union TriangleMesh of the atlas (host-side; not hot): per-submap

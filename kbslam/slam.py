@@ -192,20 +192,28 @@ class SLAM:
             if not config.dense.enabled:
                 raise ValueError("dense_icp requires dense.enabled "
                                  "(the TSDF volume is the model)")
-            if config.dense.submap_every > 0:
-                raise ValueError("dense_icp requires the monolithic "
-                                 "volume (dense.submap_every=0): the "
-                                 "solver aligns against ONE world-frame "
-                                 "TSDF")
             if config.dense_icp.mode not in ("rescue", "refine"):
                 raise ValueError(f"unknown dense_icp.mode "
                                  f"{config.dense_icp.mode!r}")
-            from kbslam.mapping.icp import make_icp
+            if config.dense.submap_every > 0:
+                # submap-atlas model: align against the newest
+                # dense_icp.atlas_slots submaps re-posed by their
+                # anchors' CURRENT ring poses — recovery follows
+                # BA/loop corrections (mapping/icp.align_depth_to_atlas)
+                from kbslam.mapping.icp import make_icp_atlas
 
-            self._icp = make_icp(config.dense, config.dense_icp,
-                                 self.intr, config.map.depth_scale)
+                self._icp_atlas = make_icp_atlas(
+                    config.dense, config.dense_icp, self.intr,
+                    config.map.depth_scale)
+                self._icp = None
+            else:
+                from kbslam.mapping.icp import make_icp
+
+                self._icp = make_icp(config.dense, config.dense_icp,
+                                     self.intr, config.map.depth_scale)
+                self._icp_atlas = None
         else:
-            self._icp = None
+            self._icp = self._icp_atlas = None
         self._last_icp_qt = None  # chained rescue poses (host side)
         self.icp_events: List[dict] = []
         if config.loop.reloc_after > 0:
@@ -288,7 +296,7 @@ class SLAM:
         # AFTER the reloc tick (a reloc'd frame is a keyframe and skips
         # refine below) and BEFORE dense fusion so a rescued pose is the
         # one the volume would see.
-        if self._icp is not None:
+        if self._icp is not None or self._icp_atlas is not None:
             o = self._icp_tick(o, args[2])
 
         # dense TSDF fusion at the keyframe cadence (mapping/dense.py;
@@ -376,6 +384,16 @@ class SLAM:
           improves. Skipped on keyframe frames — the inserted keyframe
           pose belongs to the sparse pipeline/BA, and diverging from it
           would make the emitted pose inconsistent with the map.
+
+        Model selection: the monolithic volume when dense.submap_every
+        == 0; otherwise the newest dense_icp.atlas_slots submaps,
+        re-posed by their anchors' CURRENT ring poses. With the atlas,
+        "refine" EXCLUDES the active submap — the polish must be
+        supported by independent evidence (geometry fused under poses
+        not correlated with the most recent drift), which kills the
+        frame-to-model drift-reinforcement failure the monolithic
+        refine gate measured (exp_icp_ate.py: ~100% acceptance, one
+        3.4x ATE regression).
         """
         cfg = self.config.dense_icp
         ok = bool(o.success)
@@ -390,7 +408,20 @@ class SLAM:
             # hold-pose-on-failure: o already carries the last device-
             # known pose
             q0, t0 = jnp.asarray(o.pose_q), jnp.asarray(o.pose_t)
-        r = jax.device_get(self._icp(self.tsdf, depth_dev, q0, t0))
+        if self._icp is not None:
+            r = jax.device_get(self._icp(self.tsdf, depth_dev, q0, t0))
+        else:
+            from kbslam.mapping.submap import recent_slots_with_poses
+
+            win = recent_slots_with_poses(
+                self.atlas, self.state.map, cfg.atlas_slots,
+                exclude_active=ok)
+            if win is None:
+                return o  # no (independent) submap evidence yet
+            slots, aq, at = win
+            r = jax.device_get(self._icp_atlas(
+                self.atlas, jnp.asarray(slots), jnp.asarray(aq),
+                jnp.asarray(at), depth_dev, q0, t0))
         accepted = (int(r.num_valid) >= cfg.min_points
                     and float(r.rmse) <= cfg.accept_rmse_m
                     and float(r.rmse) <= float(r.rmse_init))

@@ -248,26 +248,190 @@ def test_icp_rescue_does_not_mask_loss_from_reloc_counter():
     assert streaks[-1] == 0, streaks
 
 
-def test_cli_rejects_dense_icp_with_submaps():
-    """--dense-icp needs the monolithic volume; combined with
-    --dense-submaps the CLI must fail with a usage error (ap.error),
-    not a raw constructor traceback."""
+# --- submap-atlas composition (round 5): ICP against the newest K
+# submaps re-posed by their anchors' CURRENT poses — recovery keeps
+# working in the drifty regime submaps exist for ------------------------
+
+def _fused_two_submap_atlas(voxel=0.05):
+    """Two submaps over the spheres sequence, anchored at GT camera
+    poses of frames 2 and 8 (frames 0-5 fused into A, 6-11 into B) —
+    the local box sits in front of each anchor camera."""
+    from kbslam.mapping.submap import empty_atlas, integrate_active
+    from kbslam.mapping.submap import start_submap
+
+    T = 12
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    intr = Intrinsics.from_matrix(seq.K)
+    cfg = DenseMapConfig(voxel_size=voxel, dims=(96, 96, 56),
+                         origin=(-2.4, -2.4, 0.6))
+    atlas = empty_atlas(cfg, 4)
+    for anchor_i, frames in ((2, range(0, 6)), (8, range(6, 12))):
+        Ta = SE3.from_matrix(jnp.asarray(seq.poses[anchor_i], jnp.float32))
+        atlas = start_submap(atlas, Ta.q, Ta.t, kf_id=anchor_i)
+        for i in frames:
+            Ti = SE3.from_matrix(jnp.asarray(seq.poses[i], jnp.float32))
+            atlas = integrate_active(
+                atlas, jnp.asarray(seq.depth[i], jnp.float32) * 0.001,
+                Ti.q, Ti.t, intr, cfg, Ta.q, Ta.t)
+    return seq, intr, cfg, atlas
+
+
+def test_icp_atlas_recovers_perturbed_pose():
+    """align_depth_to_atlas over two submaps must pull a ~4 cm/1.5 deg
+    perturbation back like the monolithic solver (same voxel-unit
+    gates), selecting the newest valid submap per point."""
+    from kbslam.mapping.icp import make_icp_atlas
+
+    seq, intr, cfg, atlas = _fused_two_submap_atlas()
+    icp = DenseIcpConfig(iters=10, atlas_slots=2)
+    f = make_icp_atlas(cfg, icp, intr, depth_scale=0.001)
+    slots = jnp.array([1, 0], jnp.int32)      # newest first (B, A)
+    aq = atlas.anchor_q[jnp.array([1, 0])]
+    at = atlas.anchor_t[jnp.array([1, 0])]
+
+    T_gt = seq.poses[6]
+    gt = SE3.from_matrix(jnp.asarray(T_gt, jnp.float32))
+    delta = SE3.exp(jnp.array([0.025, -0.02, 0.02, 0.012, -0.015, 0.010]))
+    pert = delta @ gt
+    e0_t, _ = _pose_err(pert.q, pert.t, T_gt)
+    assert e0_t > 0.02
+
+    r = f(atlas, slots, aq, at, jnp.asarray(seq.depth[6]), pert.q, pert.t)
+    e1_t, e1_r = _pose_err(r.q, r.t, T_gt)
+    assert int(r.num_valid) > 1000, int(r.num_valid)
+    assert float(r.rmse) < float(r.rmse_init)
+    assert e1_t < 0.25 * cfg.voxel_size, (e0_t, e1_t)
+    assert e1_r < 0.3, e1_r
+
+    # padding by slot repetition must not change the solution (the
+    # host pads short windows this way)
+    f3 = make_icp_atlas(cfg, DenseIcpConfig(iters=10, atlas_slots=3),
+                        intr, depth_scale=0.001)
+    r3 = f3(atlas, jnp.array([1, 0, 0], jnp.int32),
+            atlas.anchor_q[jnp.array([1, 0, 0])],
+            atlas.anchor_t[jnp.array([1, 0, 0])],
+            jnp.asarray(seq.depth[6]), pert.q, pert.t)
+    np.testing.assert_allclose(np.asarray(r3.t), np.asarray(r.t),
+                               atol=1e-5)
+
+
+def test_icp_atlas_follows_reposed_anchors():
+    """THE submap property: when the anchors are re-posed (a loop/BA
+    correction moved every keyframe by a rigid G), aligning with the
+    CURRENT anchor poses must recover G·T_gt — the model geometry
+    followed the correction, so recovery works in the corrected gauge.
+    The monolithic solver structurally cannot do this."""
+    from kbslam.mapping.icp import make_icp_atlas
+
+    seq, intr, cfg, atlas = _fused_two_submap_atlas()
+    icp = DenseIcpConfig(iters=10, atlas_slots=2)
+    f = make_icp_atlas(cfg, icp, intr, depth_scale=0.001)
+    slots = jnp.array([1, 0], jnp.int32)
+
+    G = SE3.exp(jnp.array([0.3, -0.2, 0.15, 0.08, -0.05, 0.06]))
+    aq = jnp.stack([(G @ SE3(atlas.anchor_q[s], atlas.anchor_t[s])).q
+                    for s in (1, 0)])
+    at = jnp.stack([(G @ SE3(atlas.anchor_q[s], atlas.anchor_t[s])).t
+                    for s in (1, 0)])
+
+    T_gt = seq.poses[6]
+    gt = SE3.from_matrix(jnp.asarray(T_gt, jnp.float32))
+    target = G @ gt                            # truth in the new gauge
+    delta = SE3.exp(jnp.array([0.025, -0.02, 0.02, 0.012, -0.015, 0.010]))
+    pert = delta @ target
+    r = f(atlas, slots, aq, at, jnp.asarray(seq.depth[6]), pert.q, pert.t)
+    T_target = pose_T(np.asarray(target.q), np.asarray(target.t))
+    e1_t, e1_r = _pose_err(r.q, r.t, T_target)
+    assert int(r.num_valid) > 1000
+    assert e1_t < 0.25 * cfg.voxel_size, e1_t
+    assert e1_r < 0.3, e1_r
+
+
+def test_slam_icp_rescue_blackout_with_submaps():
+    """The round-4 exclusion is gone: the mask-blackout rescue gate
+    must hold with --dense-submaps — rescue aligns against the newest
+    atlas submaps re-posed by their anchors (the drifty-regime config
+    finally has a texture-free recovery story)."""
+    T = 34
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    mask = seq.mask.copy()
+    black = list(range(16, 22))
+    mask[black] = 0
+
+    cfg = _blackout_cfg()
+    cfg = cfg.replace(
+        dense=dataclasses.replace(cfg.dense, submap_every=1),
+        dense_icp=dataclasses.replace(cfg.dense_icp, mode="rescue"))
+    s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=True)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i], mask[i])
+
+    rescued = [e for e in s.icp_events
+               if e["mode"] == "rescue" and e["accepted"]]
+    assert len(rescued) >= 4, s.icp_events
+    n_ok = sum(s.diagnostics[i]["success"] for i in black)
+    assert n_ok >= 4, [s.diagnostics[i] for i in black]
+    T0 = seq.poses[0]
+    for i in black:
+        if not s.diagnostics[i]["success"]:
+            continue
+        T_est = T0 @ s.frame_poses[i]
+        err = np.linalg.norm(T_est[:3, 3] - seq.poses[i][:3, 3])
+        assert err < 0.08, (i, err)
+    assert s.diagnostics[-1]["success"]
+
+
+def test_slam_icp_refine_with_submaps_needs_independent_evidence():
+    """With the atlas, refine aligns ONLY against submaps the active
+    fusion did not build (exclude_active): no refine event can fire
+    while a single submap is live, and accepted refines still require
+    a strict RMSE decrease on that independent geometry."""
+    T = 26
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    cfg = _blackout_cfg()
+    cfg = cfg.replace(
+        dense=dataclasses.replace(cfg.dense, submap_every=1),
+        dense_icp=dataclasses.replace(cfg.dense_icp, mode="refine"))
+    s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=False)
+    second_kf_frame = None
+    for i in range(T):
+        d = s.process(seq.rgb[i], seq.depth[i])
+        if d["added_kf"] and second_kf_frame is None and i > 0:
+            second_kf_frame = i
+    refines = [e for e in s.icp_events if e["mode"] == "refine"]
+    assert refines, "refine mode never ran"
+    # no refine before a SECOND submap exists (exclude_active leaves
+    # an empty evidence window until then)
+    assert second_kf_frame is not None
+    assert all(e["frame"] > second_kf_frame for e in refines), (
+        second_kf_frame, refines[:3])
+    for e in refines:
+        if e["accepted"]:
+            assert e["rmse"] < e["rmse_init"], e
+
+
+def test_cli_dense_icp_with_submaps_smoke():
+    """CLI surface: --dense --dense-submaps --dense-icp rescue is now a
+    supported combination (round-4's exclusion removed) and reports the
+    rescue counters."""
+    import json
     import sys
     from io import StringIO
 
-    import pytest
-
     from kbslam.cli import main
 
-    old_out, old_err = sys.stdout, sys.stderr
-    with pytest.raises(SystemExit) as ei:
-        sys.stdout, sys.stderr = StringIO(), StringIO()
-        try:
-            main(["--source", "synthetic", "--frames", "4",
-                  "--dense", "--dense-submaps", "2",
-                  "--dense-icp", "rescue"])
-        finally:
-            err = sys.stderr.getvalue()
-            sys.stdout, sys.stderr = old_out, old_err
-    assert ei.value.code == 2  # argparse usage error, not a traceback
-    assert "monolithic" in err
+    argv = ["--source", "synthetic", "--frames", "12",
+            "--width", "160", "--height", "120", "--ba", "off",
+            "--dense", "--dense-submaps", "2", "--dense-icp", "rescue"]
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        main(argv)
+    finally:
+        sys.stdout = old
+    summary = json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert "icp_rescues" in summary and summary["tsdf_submaps"] >= 1
