@@ -567,6 +567,81 @@ def main():
     except Exception as e:  # must not kill the headline
         icp_ms = repr(e)
 
+    # --- TSDF raycast cost + render consistency (--dense product
+    # surfaces: /camera/0/rendered viewer entity at KF cadence, the
+    # --eval render_consistency map-quality metric). One render = ONE
+    # [S, H*W] batched gather sweep + argmax transition + refinement
+    # (mapping/raycast.py). N renders per scan dispatch, poses VARY,
+    # depth consumed in full (gotchas #2/#3).
+    raycast_ms = None
+    raycast_ms_s4 = None
+    render_consist = None
+    try:
+        from kbslam.geom.se3 import SE3 as _SE3r
+        from kbslam.mapping.dense import integrate_sequence
+        from kbslam.mapping.raycast import make_raycast, render_consistency
+
+        dcfgr = cfg.dense
+        depth_rc = np.asarray(seq.depth[:4], np.float32) * cfg.map.depth_scale
+        st_rc = integrate_sequence(
+            depth_rc, np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)),
+            intr, dcfgr)
+        N_RAY = 16
+        fray = make_raycast(dcfgr, intr, 480, 640)
+
+        def ray_scan(st, ks):
+            def body(c, k):
+                kf = k.astype(jnp.float32)
+                q = jnp.where(jnp.arange(4) == 0, 1.0, 1e-3 * jnp.cos(kf))
+                t = 1e-2 * jnp.sin(kf) * jnp.ones(3)
+                r = fray(st, q, t)
+                return c + jnp.sum(r.depth) + jnp.sum(r.normal), None
+            return jax.lax.scan(body, jnp.float32(0.0), ks)[0]
+
+        ray_j = jax.jit(ray_scan)
+        ksr = jnp.arange(N_RAY, dtype=jnp.int32)
+        _log("compiling raycast scan")
+        np.asarray(ray_j(st_rc, ksr))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(ray_j(st_rc, ksr))
+            best = min(best, (time.perf_counter() - t0) / N_RAY * 1e3)
+        raycast_ms = round(best, 3)
+
+        # stride-4 render = the CLI viewer entity's actual cost
+        # (render_view(stride=4): 160x120, 16x fewer ray samples)
+        from kbslam.geom.camera import Intrinsics as _I
+        intr4 = _I(intr.fx / 4, intr.fy / 4, intr.cx / 4, intr.cy / 4,
+                   intr.dist)
+        fray4 = make_raycast(dcfgr, intr4, 120, 160)
+
+        def ray_scan4(st, ks):
+            def body(c, k):
+                kf = k.astype(jnp.float32)
+                q = jnp.where(jnp.arange(4) == 0, 1.0, 1e-3 * jnp.cos(kf))
+                t = 1e-2 * jnp.sin(kf) * jnp.ones(3)
+                r = fray4(st, q, t)
+                return c + jnp.sum(r.depth) + jnp.sum(r.normal), None
+            return jax.lax.scan(body, jnp.float32(0.0), ks)[0]
+
+        ray4_j = jax.jit(ray_scan4)
+        np.asarray(ray4_j(st_rc, ksr))
+        best4 = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(ray4_j(st_rc, ksr))
+            best4 = min(best4, (time.perf_counter() - t0) / N_RAY * 1e3)
+        raycast_ms_s4 = round(best4, 3)
+        rc = render_consistency(
+            st_rc, _SE3r(jnp.array([1.0, 0, 0, 0]), jnp.zeros(3)),
+            jnp.asarray(depth_rc[0]), intr, dcfgr)
+        render_consist = {k: round(float(v), 4) for k, v in rc.items()}
+        _log(f"raycast: {raycast_ms} ms/render 640x480, {raycast_ms_s4} "
+             f"ms at viewer stride 4; consistency {render_consist}")
+    except Exception as e:  # must not kill the headline
+        raycast_ms = repr(e)
+
     # --- global-BA stress (BASELINE config 5), driver-captured ------------
     _log("global BA stress (200 KF / 50k landmarks, single chip)")
     import subprocess
@@ -622,6 +697,9 @@ def main():
             "tsdf_fuse_ms_per_kf_insertion": tsdf_ms,
             "submap_fuse_ms_per_kf_insertion": submap_ms,
             "dense_icp_ms_per_solve": icp_ms,
+            "raycast_ms_per_render_640x480": raycast_ms,
+            "raycast_ms_per_render_stride4": raycast_ms_s4,
+            "render_consistency_bench": render_consist,
             "global_ba_stress_s": ga_line.get("value"),
             "global_ba_stress": ga_line.get("extra"),
             "target_fps_north_star": 500,

@@ -101,6 +101,59 @@ def main():
         results[label] = round(best, 3)
         _log(f"{label}: {best:.3f} ms/solve")
 
+    # --- submap-atlas solver (--dense-icp + --dense-submaps): cost of
+    # align_depth_to_atlas vs K, the evidence-window width. Each GN
+    # trip pays K [P,8] corner gathers + the newest-valid-wins select;
+    # expectation: ~linear in K on the gather-bound solve.
+    from kbslam.mapping.icp import align_depth_to_atlas
+    from kbslam.mapping.submap import empty_atlas, integrate_active
+    from kbslam.mapping.submap import start_submap
+
+    _log("building a 4-submap atlas (3 frames each)")
+    atlas = empty_atlas(cfg, 8)
+    for s_i in range(4):
+        anchor = poses[s_i * 3]
+        atlas = start_submap(atlas, anchor.q, anchor.t, kf_id=s_i * 3)
+        for j in range(s_i * 3, s_i * 3 + 3):
+            atlas = integrate_active(atlas, depths[j], qs[j], ts[j],
+                                     intr, cfg, anchor.q, anchor.t)
+    atlas = jax.tree.map(jnp.asarray, atlas)
+
+    for K in (1, 2, 3, 4):
+        icp = DenseIcpConfig(stride=4, iters=8, atlas_slots=K)
+        slot_ids = jnp.asarray(
+            np.array([3, 2, 1, 0][:K], np.int32))      # newest first
+        aqs = atlas.anchor_q[slot_ids]
+        ats = atlas.anchor_t[slot_ids]
+
+        def run_a(atlas, depths, qs, ts, ks):
+            def body(c, k):
+                i = k % T
+                dq = jnp.where(jnp.arange(4) == 0, 1.0,
+                               1e-3 * jnp.cos(k.astype(jnp.float32)))
+                q0 = qs[i] + dq - jnp.array([1.0, 0, 0, 0])
+                t0 = ts[i] + 1e-2 * jnp.sin(k.astype(jnp.float32))
+                with jax.default_matmul_precision("highest"):
+                    r = align_depth_to_atlas(atlas, slot_ids, aqs, ats,
+                                             depths[i], q0, t0, intr,
+                                             cfg, icp)
+                s = (jnp.sum(r.q) + jnp.sum(r.t) + r.rmse + r.rmse_init
+                     + r.num_valid.astype(jnp.float32))
+                return c + s, None
+            return jax.lax.scan(body, jnp.float32(0.0), ks)[0]
+
+        fn = jax.jit(run_a)
+        ks = jnp.arange(N, dtype=jnp.int32)
+        np.asarray(fn(atlas, depths, qs, ts, ks))
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(atlas, depths, qs, ts, ks)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / N * 1e3)
+        results[f"atlas_K{K}_stride4_iters8"] = round(best, 3)
+        _log(f"atlas K={K}: {best:.3f} ms/solve")
+
     print(json.dumps({"icp_ms_per_solve": results,
                       "volume_voxels": int(np.prod(cfg.dims)),
                       "image": f"{W}x{H}"}))

@@ -60,7 +60,7 @@ def _log(m):
           flush=True)
 
 
-def _cfg(icp_mode):
+def _cfg(icp_mode, submap_every=0):
     cfg = SLAMConfig(
         image_height=240, image_width=320,
         orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
@@ -71,15 +71,23 @@ def _cfg(icp_mode):
     )
     # SLAM-gauge volume: the box sits in front of the start camera
     # (the DenseMapConfig default origin is built for this gauge)
-    cfg = cfg.replace(dense=dataclasses.replace(cfg.dense, enabled=True))
+    cfg = cfg.replace(dense=dataclasses.replace(
+        cfg.dense, enabled=True, submap_every=submap_every))
     if icp_mode != "off":
         cfg = cfg.replace(dense_icp=dataclasses.replace(
             cfg.dense_icp, mode=icp_mode))
     return cfg
 
 
-def run_one(seq, icp_mode):
-    cfg = _cfg(icp_mode)
+def run_one(seq, mode):
+    # "refine_atlas" = refine against the submap atlas with the
+    # independent-evidence gate (the ACTIVE submap is excluded from
+    # the alignment window — slam._icp_tick exclude_active): the
+    # polish is only accepted when geometry the current tracking
+    # leg did NOT build supports it
+    submap_every = 2 if mode == "refine_atlas" else 0
+    icp_mode = "refine" if mode == "refine_atlas" else mode
+    cfg = _cfg(icp_mode, submap_every)
     s = SLAM(cfg, seq.K, ba_mode="on_keyframe", use_mask=False)
     for i in range(len(seq.rgb)):
         s.process(seq.rgb[i], seq.depth[i])
@@ -98,16 +106,17 @@ def run_one(seq, icp_mode):
 
 def main():
     T = 34
+    modes = os.environ.get("ICP_ATE_MODES", "off,refine,refine_atlas")
     results = {}
     for fam, noise in (("clean", 0.0), ("noisy5mm", 5.0)):
         for seed in (0, 1, 2):
             seq = render_sequence(num_frames=T, height=240, width=320,
                                   scene="spheres", seed=seed,
                                   depth_noise_mm=noise)
-            row = {m: run_one(seq, m) for m in ("off", "refine")}
+            row = {m: run_one(seq, m) for m in modes.split(",")}
             results[f"{fam}_seed{seed}"] = row
-            _log(f"{fam} seed{seed}: off={row['off']} "
-                 f"refine={row['refine']}")
+            _log(f"{fam} seed{seed}: " + " ".join(
+                f"{m}={row[m]}" for m in row))
     print(json.dumps(results, indent=1))
 
 

@@ -90,9 +90,27 @@ def run_one(cfg, seq):
     )
 
 
+def corridor_out_and_back(frames_per_leg):
+    """Dolly out along the corridor then back to the start with the
+    SAME heading profile (a reversing dolly, not a 180-deg turn — the
+    return leg must SEE the out leg's views for place recognition to
+    have genuine revisits). Closed: pose[-1] == pose[0]. Rotation-
+    dominant revisits: the corridor yaw sweep (~±29°) runs on both
+    legs — the off-family check round-4's spheres-only loop gates
+    lacked."""
+    from kbslam.io.synthetic import corridor_trajectory
+
+    out = corridor_trajectory(frames_per_leg)
+    return np.concatenate([out, out[::-1][1:]])
+
+
 def main():
     F, L = 60, 3
-    poses = lap_trajectory(F, L)
+    scene = os.environ.get("LOOP_ATE_SCENE", "spheres")
+    if scene == "corridor":
+        poses = corridor_out_and_back(F)
+    else:
+        poses = lap_trajectory(F, L)
     assert np.allclose(poses[-1], poses[0]), "lap trajectory must close"
     results = {}
     # ~12 keyframes per lap at this policy; min_separation=10 forces
@@ -112,7 +130,7 @@ def main():
     ]
     for seed in (0, 1, 2):
         seq = render_sequence(num_frames=len(poses), height=240, width=320,
-                              scene="spheres", depth_noise_mm=5.0,
+                              scene=scene, depth_noise_mm=5.0,
                               seed=seed, poses=poses)
         for name, kw in variants:
             key = f"seed{seed}_{name}"

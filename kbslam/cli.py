@@ -72,7 +72,9 @@ def main(argv=None):
     ap.add_argument("--reloc", type=int, default=0, metavar="N",
                     help="relocalize after N consecutive tracking "
                     "failures (0 = reference behavior: lost forever). "
-                    "Per-frame path only")
+                    "Works per-frame and chunked (--chunk: the probe "
+                    "runs chunk-late on the drained fail streak; "
+                    "re-anchoring lands from the next chunk boundary)")
     ap.add_argument("--cull", action="store_true",
                     help="enable keyframe culling (disabled in the reference)")
     ap.add_argument("--dense", action="store_true",
@@ -198,11 +200,6 @@ def main(argv=None):
     if args.loop or args.reloc:
         import dataclasses
 
-        if args.chunk and args.reloc:
-            ap.error("--reloc runs on the per-frame path only (recovery "
-                     "must intervene on the frame that failed; chunked "
-                     "tracking has already committed the whole chunk). "
-                     "--loop works chunked: probes run chunk-late.")
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, enabled=bool(args.loop), reloc_after=args.reloc))
     if args.dense or args.save_surface or args.save_mesh:
@@ -281,6 +278,12 @@ def main(argv=None):
         # decimation grid and the cloud only changes on fusion
         if viewer is not None and args.dense and d["added_kf"]:
             viewer.update_dense(slam.dense_surface()[0])
+            # model-predicted view next to the live depth feed
+            # (/camera/0/rendered; same raw units -> same JET ramp)
+            r = slam.render_view(stride=4)
+            if r is not None:
+                viewer.update_rendered(
+                    np.asarray(r.depth) / cfg.map.depth_scale)
         if d["frame"] % 30 == 0:
             print(f"frame {d['frame']}: success={d['success']} "
                   f"kf={d['added_kf']} inliers={d['num_inliers']} "
@@ -322,6 +325,11 @@ def main(argv=None):
         if slam.atlas is not None:
             summary["tsdf_submaps"] = int(min(int(slam.atlas.count),
                                               slam.atlas.capacity))
+        # map-quality metric: rendered-vs-observed depth at the last
+        # keyframe (mapping/raycast.render_consistency)
+        rc = slam.map_consistency()
+        if rc is not None:
+            summary["render_consistency"] = rc
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:
@@ -344,10 +352,13 @@ def main(argv=None):
     if args.save_checkpoint:
         from kbslam.io.checkpoint import save_checkpoint
 
+        rc = summary.get("render_consistency")
         save_checkpoint(args.save_checkpoint, slam.state,
                         trajectory=slam.frame_poses, tsdf=slam.tsdf,
                         atlas=slam.atlas,
-                        kf_insertions=slam._kf_insertions)
+                        kf_insertions=slam._kf_insertions,
+                        meta=({f"render_consistency_{k}": v
+                               for k, v in rc.items()} if rc else None))
     if args.save_trajectory:
         with open(args.save_trajectory, "w") as f:
             for i, T in enumerate(est):
@@ -434,6 +445,10 @@ def _run_chunked(args, cfg, K, frames, dist):
             if (viewer is not None and args.dense and r["added_kf"]
                     and r["frame"] - last_dense >= view_every):
                 viewer.update_dense(cs.dense_surface()[0])
+                rv = cs.render_view(stride=4)
+                if rv is not None:
+                    viewer.update_rendered(
+                        np.asarray(rv.depth) / cfg.map.depth_scale)
                 last_dense = r["frame"]
         for r in drained:
             frame_buf.pop(r["frame"], None)
@@ -466,6 +481,7 @@ def _run_chunked(args, cfg, K, frames, dist):
               file=sys.stderr)
     est = [pose_T(r["pose_q"], r["pose_t"]) for r in results]
     est = np.stack(est) if est else np.zeros((0, 4, 4))
+    rc = cs.map_consistency() if args.dense else None
     if args.save_checkpoint:
         from kbslam.io.checkpoint import save_checkpoint
 
@@ -473,7 +489,9 @@ def _run_chunked(args, cfg, K, frames, dist):
         # checkpoint contents (load_checkpoint's trajectory slot)
         save_checkpoint(args.save_checkpoint, cs.state, trajectory=list(est),
                         tsdf=cs.tsdf, atlas=cs.atlas,
-                        kf_insertions=getattr(cs, "_kf_insertions", 0))
+                        kf_insertions=getattr(cs, "_kf_insertions", 0),
+                        meta=({f"render_consistency_{k}": v
+                               for k, v in rc.items()} if rc else None))
     summary = dict(
         frames=n,
         success=sum(r["success"] for r in results),
@@ -485,6 +503,8 @@ def _run_chunked(args, cfg, K, frames, dist):
     )
     if args.loop:
         summary["loop_closures"] = len(cs.loop_events)
+    if args.reloc:
+        summary["relocalizations"] = len(cs.reloc_events)
     if args.dense:
         pts, _ = cs.dense_surface()
         vol = cs.tsdf if cs.tsdf is not None else cs.atlas
@@ -494,6 +514,8 @@ def _run_chunked(args, cfg, K, frames, dist):
         if cs.atlas is not None:
             summary["tsdf_submaps"] = int(min(int(cs.atlas.count),
                                               cs.atlas.capacity))
+        if rc is not None:
+            summary["render_consistency"] = rc
         if args.save_surface:
             np.save(args.save_surface, pts)
         if args.save_mesh:

@@ -26,13 +26,17 @@ _FIELDS_TRACK = ["pose_q", "pose_t", "frames_since_kf", "frame_count"]
 def save_checkpoint(path: str, state: TrackState,
                     trajectory: Optional[List[np.ndarray]] = None,
                     tsdf=None, atlas=None,
-                    kf_insertions: int = 0) -> None:
+                    kf_insertions: int = 0,
+                    meta: Optional[dict] = None) -> None:
     """``tsdf``: optional mapping.dense.TSDFState — persisted so a
     --dense run resumes with its volume instead of silently restarting
     from empty (the sparse map would then cover keyframes the volume
     does not). ``atlas``: optional mapping.submap.SubmapAtlas (the
     --dense-submaps model), with ``kf_insertions`` = the SLAM shell's
-    insertion counter so the every-K submap cadence resumes in phase."""
+    insertion counter so the every-K submap cadence resumes in phase.
+    ``meta``: optional flat dict of scalar run metadata (e.g. the
+    render_consistency map-quality numbers) stored as meta.* entries
+    and read back by load_checkpoint_meta."""
     arrs = {}
     for name, val in state.map._asdict().items():
         arrs[f"map.{name}"] = np.asarray(val)
@@ -47,9 +51,20 @@ def save_checkpoint(path: str, state: TrackState,
         for name, val in atlas._asdict().items():
             arrs[f"atlas.{name}"] = np.asarray(val)
         arrs["atlas.kf_insertions"] = np.int32(kf_insertions)
+    if meta:
+        for k, v in meta.items():
+            arrs[f"meta.{k}"] = np.float64(v)
     tmp = path + ".tmp.npz"  # savez appends .npz unless present
     np.savez_compressed(tmp, **arrs)
     os.replace(tmp, path)  # atomic publish
+
+
+def load_checkpoint_meta(path: str) -> dict:
+    """Scalar run metadata written via save_checkpoint(meta=...);
+    empty dict when the checkpoint carries none."""
+    with np.load(path) as z:
+        return {k[len("meta."):]: float(z[k]) for k in z.files
+                if k.startswith("meta.")}
 
 
 def load_checkpoint(path: str, cfg: SLAMConfig

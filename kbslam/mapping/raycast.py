@@ -143,6 +143,31 @@ def make_raycast(cfg: DenseMapConfig, intr: Intrinsics,
     return jax.jit(run)
 
 
+def resolve_render_model(tsdf, atlas, map_state, q, t):
+    """Host-side: pick the TSDF volume + model-frame pose for rendering
+    camera-to-world (q, t) from whichever dense model is configured.
+    Monolithic volume: identity mapping. Submap atlas: the ACTIVE
+    submap re-posed by its anchor's CURRENT ring pose — a single-chunk
+    approximation (the newest chunk is where the camera looks; a
+    multi-submap compositor would need per-submap ray intersection,
+    not worth it for a viewer/metric surface). Returns
+    (TSDFState, SE3 pose in the model frame, anchor SE3 or None), or
+    (None, None, None) when no fused model exists. Shared by the
+    per-frame SLAM shell and the chunked streaming executor."""
+    T_cam = SE3(jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32))
+    if tsdf is not None:
+        return tsdf, T_cam, None
+    if atlas is None or int(atlas.count) == 0:
+        return None, None, None
+    from kbslam.mapping.submap import recent_slots_with_poses
+
+    slots, aq, at = recent_slots_with_poses(atlas, map_state, 1)
+    s = int(slots[0])
+    vol = TSDFState(tsdf=atlas.tsdf[s], weight=atlas.weight[s])
+    anchor = SE3(jnp.asarray(aq[0]), jnp.asarray(at[0]))
+    return vol, (anchor.inverse() @ T_cam).normalize(), anchor
+
+
 def render_consistency(state: TSDFState, pose: SE3, depth_obs,
                        intr: Intrinsics, cfg: DenseMapConfig,
                        t_max: float = 12.0) -> dict:

@@ -215,6 +215,7 @@ class SLAM:
         else:
             self._icp = self._icp_atlas = None
         self._last_icp_qt = None  # chained rescue poses (host side)
+        self._last_kf_view = None  # (pose_q, pose_t, host depth) @ last KF
         self.icp_events: List[dict] = []
         if config.loop.reloc_after > 0:
             from kbslam.loop.reloc import make_reloc_step
@@ -333,6 +334,13 @@ class SLAM:
             self.atlas = self._submap_fuse(self.atlas, args[2], q, t,
                                            aq, at)
             self._kf_insertions += 1
+
+        # last-keyframe view (pose + host depth ref): the render/
+        # consistency surfaces (render_view, map_consistency) anchor
+        # at the newest keyframe, where the model is freshest
+        if self.config.dense.enabled and bool(o.added_kf):
+            self._last_kf_view = (np.asarray(o.pose_q),
+                                  np.asarray(o.pose_t), depth)
 
         if self._loop is not None:
             if bool(o.added_kf):
@@ -595,6 +603,75 @@ class SLAM:
             raise RuntimeError("dense mapping disabled "
                                "(SLAMConfig.dense.enabled)")
         return marching_tetrahedra(self.tsdf, self.config.dense)
+
+    def _scaled_intr(self, stride: int):
+        """Downsampled pinhole for stride-decimated rendering: pixel i
+        of the small image is full-res pixel i*stride, so
+        (i*s − cx)/fx == (i − cx/s)/(fx/s) — exact, and the Brown-
+        Conrady coefficients live in normalized coords (unchanged)."""
+        if stride == 1:
+            return (self.intr, self.config.image_height,
+                    self.config.image_width)
+        i = self.intr
+        return (Intrinsics(i.fx / stride, i.fy / stride, i.cx / stride,
+                           i.cy / stride, i.dist),
+                self.config.image_height // stride,
+                self.config.image_width // stride)
+
+    def render_view(self, q=None, t=None, stride: int = 1):
+        """Raycast the dense model from camera-to-world (q, t)
+        (default: the last inserted keyframe's pose) — the model-
+        predicted depth/normal view (mapping/raycast.py), logged by the
+        CLI under /camera/0/rendered at the keyframe cadence. Returns a
+        RaycastResult with world-frame normals, or None when no dense
+        model / no keyframe exists yet. ``stride`` renders every
+        stride-th pixel: the full 640x480 render is gather-bound at
+        ~384 ms on TPU v5e (20M ray samples), stride 4 cuts it 16x —
+        the CLI viewer entity uses stride 4."""
+        from kbslam.geom.se3 import quat_rotate
+        from kbslam.mapping.raycast import make_raycast, resolve_render_model
+
+        if q is None:
+            if self._last_kf_view is None:
+                return None
+            q, t, _ = self._last_kf_view
+        vol, pose, anchor = resolve_render_model(
+            self.tsdf, self.atlas, self.state.map, q, t)
+        if vol is None:
+            return None
+        intr_s, H, W = self._scaled_intr(stride)
+        f = make_raycast(self.config.dense, intr_s, H, W)
+        r = f(vol, pose.q, pose.t)
+        if anchor is not None:
+            # normals come back in the submap's local frame
+            n = quat_rotate(anchor.q, r.normal.reshape(-1, 3))
+            r = r._replace(normal=n.reshape(r.normal.shape))
+        return r
+
+    def map_consistency(self, stride: int = 2) -> Optional[dict]:
+        """Rendered-vs-observed depth agreement at the last inserted
+        keyframe (mapping/raycast.render_consistency) — the map-quality
+        metric surfaced in the CLI --eval summary and checkpoint
+        metadata: drift shows up as growing disagreement between what
+        the fused model predicts and what the sensor saw. None until a
+        dense-fused keyframe exists. Default stride 2 (4x cheaper
+        render; the median/p90/coverage statistics are insensitive to
+        pixel decimation)."""
+        from kbslam.mapping.raycast import (render_consistency,
+                                            resolve_render_model)
+
+        if self._last_kf_view is None:
+            return None
+        q, t, depth = self._last_kf_view
+        vol, pose, _ = resolve_render_model(
+            self.tsdf, self.atlas, self.state.map, q, t)
+        if vol is None:
+            return None
+        intr_s, H, W = self._scaled_intr(stride)
+        depth_m = (np.asarray(depth, np.float32)[::stride, ::stride]
+                   * self.config.map.depth_scale)[:H, :W]
+        return render_consistency(vol, pose, depth_m, intr_s,
+                                  self.config.dense)
 
     def map_points(self) -> np.ndarray:
         return map_point_positions(self.state.map)

@@ -151,12 +151,41 @@ class ChunkedStream:
         # public alias of the runner's event list (same list object)
         self.loop_events: List[dict] = (
             self._loop.events if self._loop is not None else [])
+        # chunk-late relocalization (loop/reloc.py): when the DRAINED
+        # results end in >= reloc_after consecutive failures, quiesce
+        # the device stream and probe the newest drained frame against
+        # the whole ring — re-anchoring lands from the next chunk
+        # boundary (latency = one chunk, the documented cost of
+        # chunking; round-4 verdict: the throughput path previously
+        # had no recovery story at all)
+        if cfg.loop.reloc_after > 0:
+            from kbslam.loop.reloc import make_reloc_step
+
+            self._reloc = make_reloc_step(
+                cfg, intr, use_mask=use_mask,
+                word_bits=cfg.loop.word_bits,
+                score_min=cfg.loop.reloc_score_min,
+                min_inliers=cfg.loop.reloc_min_inliers, seed=seed)
+            self._reloc_after = int(cfg.loop.reloc_after)
+            # frame idx -> (rgb post-gray, depth, mask UNPACKED) kept
+            # until one past drain so the newest drained frame can be
+            # re-fed to the probe
+            self._frame_ring: dict = {}
+        else:
+            self._reloc = None
+        self._fail_streak = 0
+        self._kf_seen = int(state.map.num_kf)  # host-visible keyframes
+        self.reloc_events: List[dict] = []
         self.tsdf = None
         self._integrate = None
         self.atlas = None
         self._submap_start = self._submap_fuse = None
         self._dense = bool(cfg.dense.enabled)
         self._dense_cfg = cfg.dense
+        self._intr = intr
+        self._depth_scale = cfg.map.depth_scale
+        self._image_hw = (cfg.image_height, cfg.image_width)
+        self._last_kf_view = None  # (pose_q, pose_t, host depth) @ last KF
         if cfg.dense.enabled:
             # keyframe fusion needs the frame's depth AFTER it drains
             # (up to 2C frames late): keep recent host depth by index
@@ -233,36 +262,51 @@ class ChunkedStream:
                 # chunk-late TSDF fusion of the keyframe's depth at its
                 # drained pose (mapping/dense.py; ~0.6 MB re-upload per
                 # insertion — negligible next to the frame stream)
-                q = jnp.asarray(o.pose_q[i])
-                t = jnp.asarray(o.pose_t[i])
-                d = jnp.asarray(self._depth_ring[self._frame])
-                if self._integrate is not None:
-                    self.tsdf = self._integrate(self.tsdf, d, q, t)
-                else:
-                    # submap atlas (mapping/submap.py), same cadence/
-                    # gauge rules as the per-frame shell (slam.py)
-                    kid = self._next_kf_id
-                    every = self._dense_cfg.submap_every
-                    if self._kf_insertions % every == 0:
-                        self.atlas = self._submap_start(self.atlas, q, t,
-                                                        kid)
-                        self._active_anchor_kid = kid
-                        self._submaps_opened += 1
-                    # BOTH fusion poses come from the live ring when the
-                    # slots are provably live (one gauge — a loop/pose-
-                    # graph correction that merged while this chunk was
-                    # in flight rewrote the whole ring, including this
-                    # keyframe's slot; the drained pose predates it)
-                    q2, t2, aq, at = self._fusion_poses_now(kid, q, t)
-                    self.atlas = self._submap_fuse(self.atlas, d, q2, t2,
-                                                   aq, at)
-                    self._kf_insertions += 1
-                    self._next_kf_id += 1
+                self._fuse_drained_kf(np.asarray(o.pose_q[i]),
+                                      np.asarray(o.pose_t[i]),
+                                      self._depth_ring[self._frame])
             if self._dense:
                 self._depth_ring.pop(self._frame, None)
+            if self._reloc is not None:
+                if bool(o.success[i]) or self._kf_seen == 0:
+                    self._fail_streak = 0
+                else:
+                    self._fail_streak += 1
+            self._kf_seen += int(bool(o.added_kf[i]))
             added += int(bool(o.added_kf[i]))
             self._frame += 1
+        if self._reloc is not None:
+            # keep only the newest drained frame (the reloc probe input)
+            for k in list(self._frame_ring):
+                if k < self._frame - 1:
+                    self._frame_ring.pop(k)
         return added
+
+    def _fuse_drained_kf(self, q_np, t_np, depth_host):
+        """Fuse one drained keyframe's depth into the dense model, with
+        the same cadence/gauge rules as the per-frame shell (slam.py).
+        Shared by the drain loop and the reloc-inserted keyframe."""
+        q, t = jnp.asarray(q_np), jnp.asarray(t_np)
+        self._last_kf_view = (q_np, t_np, depth_host)
+        d = jnp.asarray(depth_host)
+        if self._integrate is not None:
+            self.tsdf = self._integrate(self.tsdf, d, q, t)
+            return
+        # submap atlas (mapping/submap.py)
+        kid = self._next_kf_id
+        every = self._dense_cfg.submap_every
+        if self._kf_insertions % every == 0:
+            self.atlas = self._submap_start(self.atlas, q, t, kid)
+            self._active_anchor_kid = kid
+            self._submaps_opened += 1
+        # BOTH fusion poses come from the live ring when the slots are
+        # provably live (one gauge — a loop/pose-graph correction that
+        # merged while this chunk was in flight rewrote the whole ring,
+        # including this keyframe's slot; the drained pose predates it)
+        q2, t2, aq, at = self._fusion_poses_now(kid, q, t)
+        self.atlas = self._submap_fuse(self.atlas, d, q2, t2, aq, at)
+        self._kf_insertions += 1
+        self._next_kf_id += 1
 
     def _fusion_poses_now(self, kid, q_drained, t_drained):
         """(frame_q, frame_t, anchor_q, anchor_t) for fusing drained
@@ -349,6 +393,66 @@ class ChunkedStream:
 
         return marching_tetrahedra(self.tsdf, self._dense_cfg)
 
+    def _scaled_intr(self, stride: int):
+        """Downsampled pinhole for stride-decimated rendering (see
+        SLAM._scaled_intr — exact for pixel i ↔ full pixel i*stride)."""
+        from kbslam.geom.camera import Intrinsics
+
+        if stride == 1:
+            return self._intr, self._image_hw[0], self._image_hw[1]
+        i = self._intr
+        return (Intrinsics(i.fx / stride, i.fy / stride, i.cx / stride,
+                           i.cy / stride, i.dist),
+                self._image_hw[0] // stride, self._image_hw[1] // stride)
+
+    def render_view(self, q=None, t=None, stride: int = 1):
+        """Model-predicted depth/normal view (mapping/raycast.py) from
+        camera-to-world (q, t), default the last DRAINED keyframe's
+        pose; mirrors SLAM.render_view (world-frame normals; atlas:
+        active submap re-posed by its anchor's current ring pose;
+        stride decimates the gather-bound render — full 640x480 is
+        ~384 ms on TPU v5e, stride 4 cuts it 16x). Host-syncs the live
+        state — viewer-cadence only, not hot."""
+        from kbslam.geom.se3 import quat_rotate
+        from kbslam.mapping.raycast import make_raycast, resolve_render_model
+
+        if q is None:
+            if self._last_kf_view is None:
+                return None
+            q, t, _ = self._last_kf_view
+        vol, pose, anchor = resolve_render_model(
+            self.tsdf, self.atlas, self.state.map, q, t)
+        if vol is None:
+            return None
+        intr_s, H, W = self._scaled_intr(stride)
+        f = make_raycast(self._dense_cfg, intr_s, H, W)
+        r = f(vol, pose.q, pose.t)
+        if anchor is not None:
+            n = quat_rotate(anchor.q, r.normal.reshape(-1, 3))
+            r = r._replace(normal=n.reshape(r.normal.shape))
+        return r
+
+    def map_consistency(self, stride: int = 2):
+        """Rendered-vs-observed depth agreement at the last drained
+        keyframe; mirrors SLAM.map_consistency (the --eval summary /
+        checkpoint-metadata map-quality metric; default stride 2 =
+        4x cheaper render, statistics insensitive to decimation)."""
+        from kbslam.mapping.raycast import (render_consistency,
+                                            resolve_render_model)
+
+        if self._last_kf_view is None:
+            return None
+        q, t, depth = self._last_kf_view
+        vol, pose, _ = resolve_render_model(
+            self.tsdf, self.atlas, self.state.map, q, t)
+        if vol is None:
+            return None
+        intr_s, H, W = self._scaled_intr(stride)
+        depth_m = (np.asarray(depth, np.float32)[::stride, ::stride]
+                   * self._depth_scale)[:H, :W]
+        return render_consistency(vol, pose, depth_m, intr_s,
+                                  self._dense_cfg)
+
     def _record_ba_stats(self, s):
         """Append one solve's stats; ``s`` must already be host-side
         (device_get'd by the caller — avoids a second transfer)."""
@@ -396,6 +500,58 @@ class ChunkedStream:
             # ONE async dispatch: snapshot-copy + solve fused
             self._ba_inflight = self._ba_solve(self.state.map)
 
+    def _maybe_reloc(self):
+        """Chunk-late relocalization attempt: fires only when the
+        DRAINED tail shows >= reloc_after consecutive failures and no
+        async BA solve is in flight (its merge would clobber the fresh
+        anchor — the per-frame shell's gate, slam._reloc_tick).
+
+        Quiesces the device stream first (drains in-flight chunks):
+        (a) an in-flight chunk may have recovered on its own — its
+        drained successes reset the streak and skip a spurious reloc;
+        (b) with dense submaps the host insertion-id bookkeeping
+        (_next_kf_id) requires no device-policy insertions in flight
+        when the host-side reloc insertion lands. Tracking is >= N
+        frames lost here, so the stall costs nothing that matters."""
+        if (self._reloc is None or self._ba_inflight is not None
+                or self._fail_streak < self._reloc_after):
+            return
+        if self._inflight:
+            added = 0
+            while self._inflight:
+                added += self._collect(*self._inflight.pop(0))
+            self._kf_tick(added)   # may dispatch BA -> retry next feed
+            if (self._ba_inflight is not None
+                    or self._fail_streak < self._reloc_after):
+                return
+        data = self._frame_ring.get(self._frame - 1)
+        if data is None:
+            return
+        rgb, dep, msk = data
+        args = [jnp.asarray(rgb), jnp.asarray(dep)]
+        if self.use_mask:
+            args.append(jnp.asarray(
+                msk if msk is not None
+                else np.ones(dep.shape[:2], np.uint8)))
+        self.state, r = self._reloc(self.state, *args)
+        if not bool(r.success):   # host sync: tiny scalars, lost anyway
+            return
+        self._fail_streak = 0
+        self._kf_seen += 1
+        slot = int(r.slot)
+        self.reloc_events.append(dict(
+            frame=self._frame - 1,
+            matched_id=int(self.state.map.kf_id[slot])
+            if slot < self.state.map.capacity_kf else -1,
+            score=float(r.score), inliers=int(r.num_inliers)))
+        # the reloc frame is a fresh keyframe: fuse its depth like any
+        # drained insertion (per-frame shell parity — its reloc'd
+        # frames run the dense tick with added_kf set)
+        if self._dense:
+            self._fuse_drained_kf(np.asarray(r.pose_q),
+                                  np.asarray(r.pose_t),
+                                  np.asarray(dep))
+
     def feed(self, rgb, depth, mask=None) -> List[dict]:
         """Add one frame; returns any newly drained per-frame results."""
         if self._dense:
@@ -409,6 +565,10 @@ class ChunkedStream:
                 np.asarray(rgb, np.float32)
                 @ np.array(GRAY_WEIGHTS, np.float32)
             ).astype(np.uint8)
+        if self._reloc is not None:
+            # post-gray rgb + UNPACKED mask: the probe re-feeds the
+            # frame exactly as the track step saw it
+            self._frame_ring[self._fed - 1] = (rgb, depth, mask)
         if self.use_mask:
             if mask is None:
                 mask = np.ones(depth.shape[:2], np.uint8)
@@ -428,6 +588,7 @@ class ChunkedStream:
         while len(self._inflight) > 1:
             added += self._collect(*self._inflight.pop(0))
         self._kf_tick(added)
+        self._maybe_reloc()
         if self._drained:
             out, self._drained = self._drained, []
         return out

@@ -173,6 +173,22 @@ class Viewer:
         if mask is not None:
             rr.log("/camera/0/mask", rr.Image(mask))
 
+    def update_rendered(self, depth_raw: np.ndarray):
+        """Log the model-PREDICTED depth view (mapping/raycast.py) under
+        /camera/0/rendered — the KinectFusion-style rendered view next
+        to the live /camera/0/depth feed (capability extension beyond
+        the reference's Viewer.cpp schema). ``depth_raw`` must be in
+        the SAME raw sensor units as the live depth feed (the caller
+        divides metric render depth by MapConfig.depth_scale) so both
+        panes share the JET transform and are visually comparable.
+        Call at the keyframe cadence — the model only changes on
+        fusion."""
+        rendered = colorize_depth(depth_raw, self.depth_display_alpha)
+        self.last["rendered_rgb"] = rendered
+        if not self.enabled:
+            return
+        rr.log("/camera/0/rendered", rr.Image(rendered))
+
     def update_dense(self, surface_points: np.ndarray):
         """Log the TSDF zero-crossing cloud (capability extension —
         beyond the reference's Viewer.cpp schema; same (x,−z,−y)

@@ -373,14 +373,60 @@ def test_slam_icp_rescue_blackout_with_submaps():
     assert len(rescued) >= 4, s.icp_events
     n_ok = sum(s.diagnostics[i]["success"] for i in black)
     assert n_ok >= 4, [s.diagnostics[i] for i in black]
+    # Gate is wider than the monolithic test's 0.08: atlas rescue lands
+    # in the RING gauge (submaps re-posed by their anchors' current
+    # ring poses; local BA holds the NEWEST keyframe so old anchors
+    # absorb gauge motion — measured 37-82 mm world-gauge drift of KF0
+    # here while the ring's RELATIVE KF0<->KF10 error stayed 4.6 mm).
+    # Ring gauge is the product-consistent choice: post-blackout PnP
+    # re-acquires against BA-merged landmarks, i.e. in the same gauge.
+    # With BA off the gauges coincide and rescue is bit-identical to
+    # the monolithic solver (test below).
     T0 = seq.poses[0]
     for i in black:
         if not s.diagnostics[i]["success"]:
             continue
         T_est = T0 @ s.frame_poses[i]
         err = np.linalg.norm(T_est[:3, 3] - seq.poses[i][:3, 3])
-        assert err < 0.08, (i, err)
+        assert err < 0.12, (i, err)
     assert s.diagnostics[-1]["success"]
+
+
+def test_slam_icp_atlas_rescue_matches_monolithic_when_ba_off():
+    """Gauge-coincidence pin: with BA disabled the ring never moves, so
+    a submap atlas whose first anchor is the identity holds the same
+    geometry as the monolithic volume in the same world frame — the
+    atlas rescue path must emit (numerically) the same poses as the
+    monolithic rescue path through the blackout. Isolates the solver
+    path from the ring-gauge effects of the test above."""
+    T = 26
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    mask = seq.mask.copy()
+    black = list(range(16, 22))
+    mask[black] = 0
+
+    def run(submap_every):
+        cfg = _blackout_cfg()
+        cfg = cfg.replace(
+            dense=dataclasses.replace(cfg.dense,
+                                      submap_every=submap_every),
+            dense_icp=dataclasses.replace(cfg.dense_icp, mode="rescue"))
+        s = SLAM(cfg, seq.K, ba_mode="disabled", use_mask=True)
+        for i in range(T):
+            s.process(seq.rgb[i], seq.depth[i], mask[i])
+        return s
+
+    s_mono = run(0)
+    s_atlas = run(4)   # one submap window covers all insertions here
+    ok_mono = [s_mono.diagnostics[i]["success"] for i in black]
+    ok_atlas = [s_atlas.diagnostics[i]["success"] for i in black]
+    assert ok_mono == ok_atlas and sum(ok_mono) >= 4
+    for i in black:
+        if not ok_mono[black.index(i)]:
+            continue
+        np.testing.assert_allclose(s_atlas.frame_poses[i],
+                                   s_mono.frame_poses[i], atol=1e-4)
 
 
 def test_slam_icp_refine_with_submaps_needs_independent_evidence():

