@@ -12,10 +12,14 @@ exists for), two ways:
      (world positions where >= 2 live submaps carry near-surface
      observations) vs INTERIOR points (exactly 1). If seams dominated,
      overlap error would sit well above interior error.
-  2. Direct seam magnitude: for each adjacent submap pair with
-     overlap, the nearest-neighbor distance from A's overlap surface
-     points to B's surface cloud — the actual cross-chunk surface
-     disagreement, independent of GT.
+  2. Direct seam magnitude, two estimators per adjacent overlapping
+     pair: (a) nearest-neighbor distance from A's overlap surface
+     points to B's surface cloud — CAUTION: floored by the extraction
+     sampling density (~voxel spacing, 85 mm default), so it
+     OVERSTATES small seams; (b) |SDF_B| evaluated (trilinear) at A's
+     zero-crossing points, in metres — B's signed distance to A's
+     surface, sampling-independent within the truncation band. (b) is
+     the seam number to quote.
 
 Both under (a) per-insertion loop closures and (b) frozen extraction,
 per seed. Decision input for BASELINE.md: weld at extraction only if
@@ -78,6 +82,35 @@ def _near_surface_mask(atlas, cfg, slot, T_slot, pts_world):
     return inside & (w > 0) & (np.abs(t) < cfg.iso_band)
 
 
+def _trilinear_sdf_np(tsdf, weight, cfg, pl):
+    """Numpy trilinear SDF at LOCAL points pl [N,3]; valid requires
+    the full 2x2x2 neighborhood observed and strictly inside the clamp
+    band. Returns (|sdf| metres, valid)."""
+    nx, ny, nz = cfg.dims
+    h = cfg.voxel_size
+    g = (pl - np.asarray(cfg.origin)) / h - 0.5
+    i0 = np.floor(g).astype(np.int64)
+    f = g - i0
+    valid = ((i0 >= 0).all(1) & (i0[:, 0] <= nx - 2)
+             & (i0[:, 1] <= ny - 2) & (i0[:, 2] <= nz - 2))
+    i0c = np.clip(i0, 0, [nx - 2, ny - 2, nz - 2])
+    phi = np.zeros(len(pl))
+    wsum = np.zeros(len(pl))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, f[:, 0], 1 - f[:, 0])
+                     * np.where(dy, f[:, 1], 1 - f[:, 1])
+                     * np.where(dz, f[:, 2], 1 - f[:, 2]))
+                ix, iy, iz = i0c[:, 0] + dx, i0c[:, 1] + dy, i0c[:, 2] + dz
+                c = tsdf[ix, iy, iz]
+                valid &= (weight[ix, iy, iz] > 0)
+                phi += w * c
+                wsum += w
+    valid &= np.abs(phi) < 0.999
+    return np.abs(phi) * cfg.truncation, valid
+
+
 def seam_report(s, cfg, sph_c, sph_r, T0):
     atlas, m = s.atlas, s.state.map
     slots = list(live_slots(atlas))
@@ -122,10 +155,22 @@ def seam_report(s, cfg, sph_c, sph_r, T0):
         if in_b.sum() < 50:
             continue
         d, _ = cKDTree(pb).query(pa[in_b], k=1)
+        # sampling-independent: B's trilinear |SDF| at A's surface
+        Tb_inv = np.linalg.inv(poses[b])
+        pl = pa[in_b] @ Tb_inv[:3, :3].T + Tb_inv[:3, 3]
+        sdf, valid = _trilinear_sdf_np(np.asarray(atlas.tsdf)[b],
+                                       np.asarray(atlas.weight)[b],
+                                       cfg, pl)
+        sdf = sdf[valid]
         seams.append(dict(
             pair=[int(a), int(b)], points=int(in_b.sum()),
             nn_median_mm=round(float(np.median(d)) * 1e3, 2),
-            nn_p90_mm=round(float(np.percentile(d, 90)) * 1e3, 2)))
+            nn_p90_mm=round(float(np.percentile(d, 90)) * 1e3, 2),
+            sdf_points=int(valid.sum()),
+            sdf_median_mm=round(float(np.median(sdf)) * 1e3, 2)
+            if valid.any() else None,
+            sdf_p90_mm=round(float(np.percentile(sdf, 90)) * 1e3, 2)
+            if valid.any() else None))
     return dict(union=e, overlap=e_ov, overlap_points=int(n_ov),
                 interior=e_in, interior_points=int(n_in),
                 overlap_frac=round(float(ov.mean()), 3),
