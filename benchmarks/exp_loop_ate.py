@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Accuracy is platform-independent (production paths wrap HIGHEST where
+# it matters) — LOOP_ATE_TPU=1 runs on the chip, ~10-20x faster when the
+# single CPU core is busy (CLAUDE.md gotcha 12).
+if os.environ.get("LOOP_ATE_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -109,8 +113,17 @@ def main():
     scene = os.environ.get("LOOP_ATE_SCENE", "spheres")
     if scene == "corridor":
         poses = corridor_out_and_back(F)
+        # The z^2 noise model at the corridor's ~8.5 m end wall makes
+        # the spheres default (5 mm @ 1 m) physically absurd: sigma
+        # ~360 mm on the wall most features land on — PnP gets 0
+        # inliers from frame 1 and the run diverges (measured: fails=24,
+        # err ~1e10 m). 1 mm @ 1 m keeps the far wall at ~72 mm (real
+        # RGB-D long-range error) and the run in the drift regime loop
+        # closure is FOR (endpoint drift ~0.35 m, measured).
+        noise = 1.0
     else:
         poses = lap_trajectory(F, L)
+        noise = 5.0
     assert np.allclose(poses[-1], poses[0]), "lap trajectory must close"
     results = {}
     # ~12 keyframes per lap at this policy; min_separation=10 forces
@@ -130,7 +143,7 @@ def main():
     ]
     for seed in (0, 1, 2):
         seq = render_sequence(num_frames=len(poses), height=240, width=320,
-                              scene=scene, depth_noise_mm=5.0,
+                              scene=scene, depth_noise_mm=noise,
                               seed=seed, poses=poses)
         for name, kw in variants:
             key = f"seed{seed}_{name}"

@@ -117,6 +117,13 @@ def main(argv=None):
     ap.add_argument("--gray", action="store_true",
                     help="host-side grayscale ingress (1.6x fewer upload "
                     "bytes; only with --chunk)")
+    ap.add_argument("--depth-edge-rel", type=float, default=0.0,
+                    metavar="R",
+                    help="range-aware rim-gate term: spread threshold "
+                    "= max(0.15, R*z^2). Set ~4x the sensor's sigma1 "
+                    "(0.02 for 5mm@1m) on long-range scenes, where the "
+                    "absolute-only gate zeroes all far depth (see "
+                    "MapConfig.depth_edge_rel_per_m2). 0 = off")
     ap.add_argument("--viewer-every", type=int, default=0,
                     help="decimate viewer updates to every Nth frame "
                     "(0 = every frame on the per-frame path, once per "
@@ -197,6 +204,11 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(cull=dataclasses.replace(cfg.cull, enabled=True))
+    if args.depth_edge_rel > 0:
+        import dataclasses
+
+        cfg = cfg.replace(map=dataclasses.replace(
+            cfg.map, depth_edge_rel_per_m2=args.depth_edge_rel))
     if args.loop or args.reloc:
         import dataclasses
 

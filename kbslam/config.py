@@ -308,6 +308,20 @@ class MapConfig:
     # (VisualOdometry.cpp:52, Map.cpp:31) — a no-op on smooth scenes.
     # 0 disables (strict reference behavior).
     depth_edge_max_spread: float = 0.15
+    # Range-aware rim-gate term: the spread threshold becomes
+    # max(depth_edge_max_spread, rel * z^2) at keypoint depth z. RGB-D
+    # range noise grows ~z^2, so at long range the 3x3 spread of pure
+    # sensor noise exceeds any fixed threshold and the absolute-only
+    # gate zeroes ALL far depth — measured catastrophic on the corridor
+    # scene with a 5 mm@1m z^2 noise model (gate-on diverges ~1e10 m
+    # with 0 PnP inliers from frame 1; gate-off tracks at 0.106 m,
+    # because zero-mean depth noise averages out in PnP while far
+    # points anchor rotation — benchmarks/exp_loop_ate.py notes). Set
+    # to ~4x the sensor's sigma1 (e.g. 0.02 for 5 mm@1m) so noise-only
+    # spread passes at range while true occlusion rims (metre-scale
+    # depth steps) still gate near/mid field. 0 disables (absolute
+    # threshold only — the default, bit-identical prior behavior).
+    depth_edge_rel_per_m2: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

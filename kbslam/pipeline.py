@@ -181,8 +181,15 @@ def extract_frame(rgb, depth, mask, intr, cfg):
                                      (3, 3), (1, 1), "SAME")
         spread = (depth_at(dmax, feats.xy, cfg.map.depth_scale)
                   - depth_at(dmin, feats.xy, cfg.map.depth_scale))
-        depth_kp = jnp.where(spread <= cfg.map.depth_edge_max_spread,
-                             depth_kp, 0.0)
+        thr = cfg.map.depth_edge_max_spread
+        if cfg.map.depth_edge_rel_per_m2 > 0:
+            # range-aware threshold (see MapConfig.depth_edge_rel_per_m2):
+            # z^2 sensor noise makes the 3x3 spread grow with range even
+            # on smooth surfaces; scale the gate so it keeps firing on
+            # true rims without zeroing all long-range depth.
+            thr = jnp.maximum(thr,
+                              cfg.map.depth_edge_rel_per_m2 * depth_kp**2)
+        depth_kp = jnp.where(spread <= thr, depth_kp, 0.0)
     if intr.has_distortion:
         # rectify keypoints ONCE (cv::undistortPoints inverse model);
         # depth/patches already sampled at raw coords above, and every

@@ -186,3 +186,68 @@ def test_tracking_on_distorted_rendering():
     # one below (model-on must beat coefficients-ignored decisively)
     assert ate_with_model < 0.040, ate_with_model
     assert ate_with_model < 0.6 * ate_without, (ate_with_model, ate_without)
+
+
+def test_rim_gate_range_aware_threshold():
+    """The absolute rim gate (depth_edge_max_spread) false-positives on
+    z^2 sensor noise: at 6 m with a 3 mm@1m model the 3x3 spread of
+    PURE NOISE (~0.3 m) exceeds the 0.15 m threshold and all far depth
+    is zeroed — measured catastrophic on the corridor scene (SLAM
+    diverges ~1e10 m; benchmarks/exp_loop_ate.py notes). The
+    range-aware term (depth_edge_rel_per_m2, thr = max(abs, rel*z^2))
+    must keep noisy-but-smooth far depth while BOTH configs still zero
+    true occlusion rims."""
+    import dataclasses
+
+    from kbslam.geom.camera import Intrinsics
+    from kbslam.pipeline import extract_frame
+
+    rng = np.random.default_rng(3)
+    H, W = 240, 320
+    rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+
+    z_bg, z_sq = 6.0, 1.0     # smooth far wall; near square (true rim)
+    clean = np.full((H, W), z_bg, np.float32)
+    clean[90:150, 120:200] = z_sq
+    sigma = 0.003 * clean**2  # 3 mm@1m Kinect-style quadratic model
+    noisy = clean + rng.normal(0.0, 1.0, clean.shape).astype(np.float32) * sigma
+    depth = np.clip(noisy * 1000.0, 1, 65535).astype(np.uint16)
+
+    # true 3x3 spread from the CLEAN depth classifies rim vs smooth
+    from scipy.ndimage import grey_dilation, grey_erosion
+
+    true_spread = grey_dilation(clean, 3) - grey_erosion(clean, 3)
+
+    cfg = small_cfg()
+    intr = Intrinsics.from_matrix(
+        np.array([[260.0, 0, (W - 1) / 2], [0, 260.0, (H - 1) / 2],
+                  [0, 0, 1]]))
+
+    def gate_stats(rel):
+        c = cfg.replace(map=dataclasses.replace(
+            cfg.map, depth_edge_rel_per_m2=rel))
+        feats, depth_kp = jax.jit(
+            lambda r, d: extract_frame(r, d, None, intr, c))(
+                jnp.asarray(rgb), jnp.asarray(depth))
+        feats, depth_kp = jax.device_get((feats, depth_kp))
+        xy = np.round(feats.xy).astype(int)
+        v = (np.asarray(feats.valid)
+             & (xy[:, 0] >= 1) & (xy[:, 0] < W - 1)
+             & (xy[:, 1] >= 1) & (xy[:, 1] < H - 1))
+        ts = true_spread[xy[v, 1], xy[v, 0]]
+        kept = np.asarray(depth_kp)[v] > 0
+        far_smooth = (ts < 0.1) & (clean[xy[v, 1], xy[v, 0]] > 3.0)
+        rim = ts > 1.0
+        return kept, far_smooth, rim
+
+    kept_abs, far_abs, rim_abs = gate_stats(0.0)
+    kept_rel, far_rel, rim_rel = gate_stats(0.03)
+
+    assert far_abs.sum() > 50 and rim_abs.sum() > 3, "degenerate scene"
+    # absolute-only: noise spread (~0.3 m) kills nearly all far depth
+    assert kept_abs[far_abs].mean() < 0.10, kept_abs[far_abs].mean()
+    # range-aware: far smooth depth survives (thr = 0.03 * 36 = 1.08 m)
+    assert kept_rel[far_rel].mean() > 0.70, kept_rel[far_rel].mean()
+    # both configs still gate true rims (5 m step >> either threshold)
+    assert kept_abs[rim_abs].mean() < 0.05
+    assert kept_rel[rim_rel].mean() < 0.05
